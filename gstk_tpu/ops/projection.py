@@ -1,0 +1,223 @@
+"""EWA projection of 3D Gaussians to screen space — pure JAX, fully vectorized.
+
+TPU-native equivalent of the reference CUDA projection kernels
+(``rasterizer/cuda/csrc/forward.cu:13-90`` forward,
+``backward.cu:305-453`` backward). On TPU this op is purely elementwise over
+the N Gaussians, so XLA fusion of the vectorized jnp formulation is already
+near roofline; gradients come from JAX autodiff of the same formulas (the
+CUDA analytic VJPs compute identical values). All intermediate divisions are
+guarded so masked-out lanes (behind camera, degenerate covariance) carry no
+NaNs into the autodiff graph.
+
+Semantics replicated exactly (validated against the ported numpy oracle in
+``gstk_tpu/ops/oracle.py`` / reference ``rasterizer/_torch_impl.py:280-340``):
+  * view-space clamping of means to 1.3*tan(fov) before the EWA Jacobian,
+  * +0.3 px isotropic screen-space blur with antialiasing compensation
+    ``sqrt(det_orig / det_blur)``,
+  * conic = inverse of 2D covariance; radius = ceil(3*sqrt(max eigenvalue))
+    with the ``b^2 - det`` term clamped to >= 0.1,
+  * pixel projection through the full (proj @ view) matrix with +1e-6
+    homogeneous epsilon and the -0.5 pixel-center offset,
+  * near-plane cull at z < clip_thresh (0.01) and det != 0 validity,
+  * ``num_tiles_hit`` = clamped tile-bbox area.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gstk_tpu.utils.math import quat_to_rotmat
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space Gaussians. All arrays are length-N, masked lanes zeroed."""
+
+    cov3d: jax.Array  # (N, 6) upper-triangular 3D covariance
+    xys: jax.Array  # (N, 2) pixel-space centers
+    depths: jax.Array  # (N,) view-space z
+    radii: jax.Array  # (N,) int32 pixel radius (0 => culled)
+    conics: jax.Array  # (N, 3) inverse 2D covariance (a, b, c)
+    compensation: jax.Array  # (N,) antialiasing opacity compensation
+    num_tiles_hit: jax.Array  # (N,) int32 tile-bbox area
+    mask: jax.Array  # (N,) bool visibility
+
+
+# Geometry matmuls are tiny (Nx3 by 3x3); run them at full fp32 precision so
+# TPU results stay allclose to the oracle (the MXU default would be bf16).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def scale_rot_to_cov3d(scales: jax.Array, glob_scale, quats: jax.Array) -> jax.Array:
+    """(N,3) scales, (N,4) normalized wxyz quats -> (N,3,3) covariance."""
+    R = quat_to_rotmat(quats)
+    M = R * (glob_scale * scales)[..., None, :]
+    return jnp.einsum("nij,nkj->nik", M, M, precision=_HI)
+
+
+def _project_cov3d_ewa(
+    means3d, cov3d, viewmat, fx, fy, tan_fovx, tan_fovy
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """EWA perspective projection of the 3D covariance.
+
+    Returns (cov2d (N,3) upper-tri [a, b, c], compensation (N,), t (N,3)
+    view-space position).
+    """
+    W = viewmat[..., :3, :3]
+    p = viewmat[..., :3, 3]
+    t = jnp.einsum("ni,ji->nj", means3d, W, precision=_HI) + p
+
+    tz = t[..., 2]
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    rz = 1.0 / tz_safe
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    tx = tz * jnp.clip(t[..., 0] * rz, -lim_x, lim_x)
+    ty = tz * jnp.clip(t[..., 1] * rz, -lim_y, lim_y)
+
+    rz2 = rz * rz
+    # J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]; T = J @ W (N, 2, 3)
+    T0 = fx * rz[..., None] * W[0] - (fx * tx * rz2)[..., None] * W[2]
+    T1 = fy * rz[..., None] * W[1] - (fy * ty * rz2)[..., None] * W[2]
+
+    def quad(u, v):  # u^T cov3d v for row vectors (N, 3)
+        return jnp.einsum("ni,nij,nj->n", u, cov3d, v, precision=_HI)
+
+    a = quad(T0, T0)
+    b = quad(T0, T1)
+    c = quad(T1, T1)
+
+    det_orig = a * c - b * b
+    a = a + 0.3
+    c = c + 0.3
+    det_blur = a * c - b * b
+    det_blur_safe = jnp.where(jnp.abs(det_blur) < 1e-12, 1e-12, det_blur)
+    compensation = jnp.sqrt(jnp.maximum(det_orig / det_blur_safe, 0.0))
+    return jnp.stack([a, b, c], axis=-1), compensation, t
+
+
+def _cov2d_bounds(cov2d: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Conic (inverse cov), 3-sigma pixel radius, validity from (N,3) cov2d."""
+    a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = a * c - b * b
+    valid = det != 0.0
+    det_safe = jnp.where(valid, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+    half_tr = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(half_tr * half_tr - det, 0.1))
+    v_max = half_tr + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v_max, 0.0)))
+    return conic, radius, valid
+
+
+def project_pix(fullmat: jax.Array, means3d: jax.Array, img_wh, center) -> jax.Array:
+    """Project world points through proj@view to pixel coords (N, 2).
+
+    Matches reference helpers.cuh:114-122 / _torch_impl.py:233-244:
+    u = 0.5*W*ndc_x - 0.5 + cx with homogeneous eps 1e-6.
+    """
+    ph = jnp.einsum("ni,ji->nj", means3d, fullmat[:3, :3], precision=_HI) + fullmat[:3, 3]
+    pw = jnp.einsum("ni,i->n", means3d, fullmat[3, :3], precision=_HI) + fullmat[3, 3]
+    rw = 1.0 / (pw + 1e-6)
+    u = 0.5 * img_wh[0] * ph[..., 0] * rw - 0.5 + center[0]
+    v = 0.5 * img_wh[1] * ph[..., 1] * rw - 0.5 + center[1]
+    return jnp.stack([u, v], axis=-1)
+
+
+def tile_bbox(xys, radius, tile_bounds, block_width):
+    """Per-Gaussian tile bounding box, truncation semantics as the oracle.
+
+    radius is float; returns int32 (tile_min, tile_max) each (N, 2) clamped to
+    [0, tiles_x] x [0, tiles_y].
+    """
+    tile_center = xys / block_width
+    tile_radius = radius[..., None] / block_width
+    top_left = jnp.trunc(tile_center - tile_radius).astype(jnp.int32)
+    bottom_right = jnp.trunc(tile_center + tile_radius).astype(jnp.int32) + 1
+    tile_min = jnp.stack(
+        [
+            jnp.clip(top_left[..., 0], 0, tile_bounds[0]),
+            jnp.clip(top_left[..., 1], 0, tile_bounds[1]),
+        ],
+        axis=-1,
+    )
+    tile_max = jnp.stack(
+        [
+            jnp.clip(bottom_right[..., 0], 0, tile_bounds[0]),
+            jnp.clip(bottom_right[..., 1], 0, tile_bounds[1]),
+        ],
+        axis=-1,
+    )
+    return tile_min, tile_max
+
+
+def project_gaussians(
+    means3d: jax.Array,
+    scales: jax.Array,
+    glob_scale,
+    quats: jax.Array,
+    viewmat: jax.Array,
+    fullmat: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    img_height: int,
+    img_width: int,
+    block_width: int = 16,
+    clip_thresh: float = 0.01,
+) -> ProjectedGaussians:
+    """Project N Gaussians to screen space.
+
+    Args mirror the reference API (rasterizer/project_gaussians.py:12): scales
+    are linear (already exp'ed), quats normalized wxyz, viewmat (4,4)
+    world->camera (OpenCV convention), fullmat = projmat @ viewmat.
+    """
+    tile_bounds = (
+        (img_width + block_width - 1) // block_width,
+        (img_height + block_width - 1) // block_width,
+    )
+    tan_fovx = 0.5 * img_width / fx
+    tan_fovy = 0.5 * img_height / fy
+
+    cov3d_full = scale_rot_to_cov3d(scales, glob_scale, quats)
+    cov2d, compensation, t = _project_cov3d_ewa(
+        means3d, cov3d_full, viewmat, fx, fy, tan_fovx, tan_fovy
+    )
+    conic, radius_f, det_valid = _cov2d_bounds(cov2d)
+    xys = project_pix(fullmat, means3d, (img_width, img_height), (cx, cy))
+    tile_min, tile_max = tile_bbox(xys, radius_f, tile_bounds, block_width)
+    tile_area = (tile_max[..., 0] - tile_min[..., 0]) * (
+        tile_max[..., 1] - tile_min[..., 1]
+    )
+    depths = t[..., 2]
+    is_close = depths < clip_thresh
+    mask = (tile_area > 0) & (~is_close) & det_valid
+
+    zero_if_masked = lambda x: jnp.where(
+        mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)), x, 0
+    )
+    tri = jnp.stack(
+        [
+            cov3d_full[..., 0, 0],
+            cov3d_full[..., 0, 1],
+            cov3d_full[..., 0, 2],
+            cov3d_full[..., 1, 1],
+            cov3d_full[..., 1, 2],
+            cov3d_full[..., 2, 2],
+        ],
+        axis=-1,
+    )
+    return ProjectedGaussians(
+        cov3d=zero_if_masked(tri),
+        xys=zero_if_masked(xys),
+        depths=zero_if_masked(depths),
+        radii=jnp.where(mask, radius_f, 0.0).astype(jnp.int32),
+        conics=zero_if_masked(conic),
+        compensation=zero_if_masked(compensation),
+        num_tiles_hit=jnp.where(mask, tile_area, 0).astype(jnp.int32),
+        mask=mask,
+    )
