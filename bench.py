@@ -1,0 +1,95 @@
+"""Benchmark: full train-step throughput (fwd+bwd+Adam) on one chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: rays/s (pixels rendered per second) through a complete training step
+— 800x800 render of a ~100k-Gaussian scene with RGB+depth compositing,
+backward pass, and per-group Adam — the reference's instrumented-but-
+unpublished "train rays/s" (gs_toolkit/utils/writer.py:42,
+engine/trainer.py:253-260; batch accounted as 800*800 rays,
+full_images_datamanager.py:457-459).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so we compare
+against the 3DGS paper's external context: ~130 fps forward-only 1080p
+rendering on an RTX 3090 => with the common ~1/3 fwd:fwd+bwd ratio that is
+~0.9e8 train rays/s. vs_baseline = value / 9.0e7.
+"""
+
+import json
+import time
+
+import numpy as np
+
+EXTERNAL_BASELINE_RAYS_PER_S = 9.0e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gstk_tpu.core.cameras import Camera
+    from gstk_tpu.core.gaussians import init_scene
+    from gstk_tpu.models.vanilla import VanillaConfig
+    from gstk_tpu.ops.rasterize import RasterizeConfig
+    from gstk_tpu.train.optim import OptimizerConfig
+    from gstk_tpu.train.step import init_train_state, make_train_step
+
+    img_h = img_w = 800
+    n = 100_000
+    capacity = 1 << 17
+
+    rng = np.random.default_rng(0)
+    # OpenGL c2w identity at origin: camera looks along world -z.
+    pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-9.0, -2.0, n)
+    rgb = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    scene = init_scene(jax.random.PRNGKey(0), capacity, (pts, rgb), sh_degree=3)
+
+    c2w = np.eye(4)[:3].astype(np.float32)
+    camera = Camera(
+        fx=jnp.float32(1111.0), fy=jnp.float32(1111.0),
+        cx=jnp.float32(img_w / 2), cy=jnp.float32(img_h / 2),
+        c2w=jnp.asarray(c2w),
+    )
+
+    raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=1 << 21)
+    step_fn = jax.jit(
+        make_train_step(
+            VanillaConfig(sh_degree=3, background_color="black"),
+            raster_cfg, OptimizerConfig(), img_h, img_w, sh_degree=3,
+        ),
+        donate_argnums=(0,),
+    )
+
+    state = init_train_state(scene)
+    gt = jnp.asarray(rng.uniform(0, 1, (img_h, img_w, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    # Warmup / compile
+    state, metrics = step_fn(state, camera, gt, key)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, camera, gt, k)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = img_h * img_w / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s_1chip_800x800_100k",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / EXTERNAL_BASELINE_RAYS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Device mesh + data-parallel training over cameras.
+
+TPU-native replacement for the reference's NCCL/DDP stack
+(``gs_toolkit/scripts/train.py:60-118`` mp.spawn + process groups,
+``pipelines/base_pipeline.py:202-207`` DistributedDataParallel):
+
+  * ``jax.distributed.initialize()`` replaces the TCP rendezvous + NCCL init;
+  * a 1-D ``Mesh`` over all devices (ICI within a slice, DCN across slices)
+    replaces per-machine process groups;
+  * ``shard_map`` with replicated Gaussian state and a camera batch sharded
+    along the ``data`` axis replaces DDP; the gradient ``pmean`` inside the
+    step is the explicit analog of DDP's bucket all-reduce, and XLA's
+    latency-hiding scheduler overlaps it with the backward pass.
+
+Densify statistics are also reduced across the axis (psum/pmax) so every
+replica applies the identical refinement — the reference's per-rank
+``after_train`` stats silently diverge under DDP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (replaces dist.init_process_group,
+    scripts/train.py:97-112). No-op on a single host with no coordinator."""
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def get_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_parallel_train_step(train_step, mesh: Mesh):
+    """Wrap an axis-aware train step (built with axis_name=DATA_AXIS) in
+    shard_map: state replicated, (camera, gt, key) sharded on the leading
+    axis. Each device consumes one camera per step.
+
+    The wrapped signature is ``(state, cameras, gt_images, keys)`` where the
+    camera pytree / gt batch / keys have leading dim == mesh size.
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def sharded(state, cameras, gt_images, keys):
+        def inner(state, cam, gt, key):
+            # shard_map keeps the (1,) shard leading dim; drop it.
+            cam = jax.tree.map(lambda x: x[0], cam)
+            new_state, metrics = train_step(state, cam, gt[0], key[0])
+            return new_state, metrics
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, cameras, gt_images, keys)
+
+    return sharded

@@ -1,0 +1,159 @@
+"""The jitted train step — forward, backward, Adam, densify stats, on device.
+
+TPU-native equivalent of ``Trainer.train_iteration``
+(``gs_toolkit/engine/trainer.py:479-525``) + the model's after_train stats
+hook (vanilla_gs.py:344-372). The reference syncs to host every step
+(``.item()`` calls, GradScaler, optimizer-state bookkeeping); here the whole
+step — render, loss, backward, per-group Adam, grad-norm accumulation — is a
+single compiled XLA program. Data parallelism is a ``shard_map`` over a
+device mesh: each device renders its own camera and gradients are
+``psum``-averaged (the explicit analog of DDP's bucket all-reduce,
+pipelines/base_pipeline.py:202-207), with densify statistics psum'd too so
+all replicas refine identically (the reference's per-rank stats silently
+diverge under DDP; we fix that).
+
+The screen-space positional gradient that drives densification is obtained
+by differentiating w.r.t. a zero ``xys_offset`` input — the functional
+replacement for ``xys.retain_grad()`` (vanilla_gs.py:797).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gstk_tpu.core.cameras import Camera
+from gstk_tpu.core.gaussians import GaussianScene
+from gstk_tpu.models.vanilla import (
+    VanillaConfig,
+    composite_gt_with_background,
+    render_scene,
+    rgb_loss,
+)
+from gstk_tpu.ops.rasterize import RasterizeConfig
+from gstk_tpu.train.optim import AdamState, OptimizerConfig, adam_step, init_adam
+from gstk_tpu.train.strategy import RefineState, init_refine_state, update_stats
+
+
+class TrainState(NamedTuple):
+    scene: GaussianScene
+    adam: AdamState
+    refine: RefineState
+    step: jax.Array  # () int32
+
+
+def init_train_state(scene: GaussianScene) -> TrainState:
+    return TrainState(
+        scene=scene,
+        adam=init_adam(scene.params()),
+        refine=init_refine_state(scene.capacity),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _background(key: jax.Array, mode: str) -> jax.Array:
+    if mode == "random":
+        return jax.random.uniform(key, (3,))
+    if mode == "white":
+        return jnp.ones(3)
+    if mode == "black":
+        return jnp.zeros(3)
+    raise ValueError(mode)
+
+
+def make_train_step(
+    model_cfg: VanillaConfig,
+    raster_cfg: RasterizeConfig,
+    optim_cfg: OptimizerConfig,
+    img_height: int,
+    img_width: int,
+    sh_degree: int,
+    apply_scale_reg: bool = False,
+    axis_name: Optional[str] = None,
+):
+    """Build the step function for a static (image size, sh degree) config.
+
+    The returned function has signature
+    ``(state, camera, gt_image, key) -> (state, metrics)`` where ``gt_image``
+    is (H, W, 3|4) float in [0,1]. Under ``shard_map`` pass ``axis_name`` to
+    psum gradients and densify statistics across the data axis.
+    """
+    maybe_psum = (
+        (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+    )
+    maybe_pmean = (
+        (lambda x: jax.lax.pmean(x, axis_name)) if axis_name else (lambda x: x)
+    )
+    maybe_pmax = (
+        (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
+    )
+    max_img_size = max(img_height, img_width)
+
+    def train_step(
+        state: TrainState,
+        camera: Camera,
+        gt_image: jax.Array,
+        key: jax.Array,
+        mask: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, dict]:
+        kbg, _ = jax.random.split(key)
+        background = _background(kbg, model_cfg.background_color)
+        gt = composite_gt_with_background(gt_image, background)
+        params = state.scene.params()
+        xys_zero = jnp.zeros((state.scene.capacity, 2), jnp.float32)
+
+        def loss_fn(p, xys_off):
+            scn = state.scene.with_params(p)
+            out = render_scene(
+                scn, camera, img_height, img_width,
+                sh_degree=sh_degree, background=background,
+                config=model_cfg, raster_config=raster_cfg,
+                xys_offset=xys_off,
+            )
+            ld = rgb_loss(out["rgb"], gt, scn, model_cfg, mask, apply_scale_reg)
+            total = ld["main_loss"] + ld["scale_reg"]
+            return total, (out, ld)
+
+        (loss, (out, ld)), (grads, g_xys) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, xys_zero)
+
+        grads = jax.tree.map(maybe_pmean, grads)
+        new_params, new_adam = adam_step(
+            params, grads, state.adam, state.step, optim_cfg,
+            update_mask=state.scene.alive,
+        )
+
+        # Densify signals: accumulate the *local* screen grad norm and
+        # visibility summed over the data axis.
+        g_xys_norm_in = maybe_psum(jnp.linalg.norm(g_xys, axis=-1))
+        visible = maybe_psum((out["radii"] > 0).astype(jnp.int32))
+        radii_sync = maybe_pmax(out["radii"])
+        refine = RefineState(
+            xys_grad_norm=state.refine.xys_grad_norm + g_xys_norm_in,
+            vis_counts=state.refine.vis_counts + visible.astype(jnp.float32),
+            max_2dsize=jnp.maximum(
+                state.refine.max_2dsize,
+                radii_sync.astype(jnp.float32) / max_img_size,
+            ),
+        )
+
+        mse = jnp.mean((out["rgb"] - gt[..., :3]) ** 2)
+        metrics = {
+            "loss": maybe_pmean(loss),
+            "main_loss": maybe_pmean(ld["main_loss"]),
+            "psnr": maybe_pmean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))),
+            "num_alive": state.scene.num_alive,
+        }
+        new_state = TrainState(
+            scene=state.scene.with_params(new_params),
+            adam=new_adam,
+            refine=refine,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,128 @@
+"""Loss functions: L1, SSIM, and the depth-supervision loss zoo.
+
+TPU-native ports of the reference losses:
+  * SSIM matching pytorch_msssim defaults used by the reference models
+    (vanilla_gs.py:177 ``SSIM(data_range=1.0, size_average=True, channel=3)``):
+    11x11 Gaussian window, sigma 1.5, K1=0.01, K2=0.03 — implemented as
+    depthwise ``lax.conv`` so XLA maps it onto the conv/MXU units.
+  * Depth losses from ``gs_toolkit/utils/losses.py``: L2/L1 on valid depth,
+    global/local Pearson correlation, total variation, edge-aware smoothing.
+All functions are pure and differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.abs(pred - gt).mean()
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
+    """Depthwise separable valid-mode filtering. img (H, W, C)."""
+    c = img.shape[-1]
+    x = img.transpose(2, 0, 1)[:, None, :, :]  # (C, 1, H, W)
+    size = win.shape[0]
+    wrow = jnp.asarray(win).reshape(1, 1, 1, size)
+    wcol = jnp.asarray(win).reshape(1, 1, size, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wrow.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, wrow, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, wcol, (1, 1), "VALID", dimension_numbers=dn)
+    return x[:, 0, :, :].transpose(1, 2, 0)
+
+
+def ssim(
+    pred: jax.Array,
+    gt: jax.Array,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Mean SSIM over an (H, W, C) image pair (pytorch_msssim semantics)."""
+    win = _gaussian_window(win_size, sigma)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu_x = _filter2d_separable(pred, win)
+    mu_y = _filter2d_separable(gt, win)
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sigma_xx = _filter2d_separable(pred * pred, win) - mu_xx
+    sigma_yy = _filter2d_separable(gt * gt, win) - mu_yy
+    sigma_xy = _filter2d_separable(pred * gt, win) - mu_xy
+
+    cs = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs
+    return ssim_map.mean()
+
+
+def total_variation(x: jax.Array) -> jax.Array:
+    """TV loss on an (H, W) or (H, W, C) map (reference utils/losses.py:203)."""
+    dh = jnp.abs(x[1:, ...] - x[:-1, ...]).mean()
+    dw = jnp.abs(x[:, 1:, ...] - x[:, :-1, ...]).mean()
+    return dh + dw
+
+
+def depth_l1(pred: jax.Array, gt: jax.Array, valid: Optional[jax.Array] = None):
+    """Mean L1 over valid (nonzero) GT depth (reference depth_gs.py:532-538)."""
+    if valid is None:
+        valid = gt > 0
+    valid = valid.astype(pred.dtype)
+    denom = jnp.maximum(valid.sum(), 1.0)
+    return (jnp.abs(pred - gt) * valid).sum() / denom
+
+
+def pearson_corr_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """1 - Pearson correlation between flattened maps
+    (reference utils/losses.py:12-24 global Pearson)."""
+    a = pred.reshape(-1)
+    b = gt.reshape(-1)
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = jnp.sqrt((a * a).sum() * (b * b).sum()) + 1e-8
+    return 1.0 - (a * b).sum() / denom
+
+
+def local_pearson_loss(
+    pred: jax.Array, gt: jax.Array, box_size: int = 64, n_boxes: int = 8,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Patchwise Pearson loss on random boxes (reference utils/losses.py:27-46)."""
+    h, w = pred.shape[:2]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.randint(kx, (n_boxes,), 0, max(w - box_size, 1))
+    y0 = jax.random.randint(ky, (n_boxes,), 0, max(h - box_size, 1))
+
+    def box_loss(x, y):
+        p = jax.lax.dynamic_slice(pred, (y, x), (box_size, box_size))
+        g = jax.lax.dynamic_slice(gt, (y, x), (box_size, box_size))
+        return pearson_corr_loss(p, g)
+
+    return jax.vmap(box_loss)(x0, y0).mean()
+
+
+def edge_aware_smooth_loss(depth: jax.Array, image: jax.Array) -> jax.Array:
+    """Edge-weighted depth smoothness: depth gradients are penalized less
+    across image edges (stands in for the reference's canny-masked
+    nearMean_map smoothing, utils/losses.py:49-84, in a differentiable form)."""
+    dd_x = jnp.abs(depth[:, 1:] - depth[:, :-1])
+    dd_y = jnp.abs(depth[1:, :] - depth[:-1, :])
+    di_x = jnp.abs(image[:, 1:, :] - image[:, :-1, :]).mean(-1)
+    di_y = jnp.abs(image[1:, :, :] - image[:-1, :, :]).mean(-1)
+    return (dd_x * jnp.exp(-di_x)).mean() + (dd_y * jnp.exp(-di_y)).mean()

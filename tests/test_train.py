@@ -1,0 +1,174 @@
+"""End-to-end training tests: loss decreases, refinement fires, Adam surgery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gstk_tpu.core.cameras import Camera
+from gstk_tpu.core.gaussians import init_scene
+from gstk_tpu.models.vanilla import VanillaConfig, render_scene
+from gstk_tpu.ops.rasterize import RasterizeConfig
+from gstk_tpu.train.optim import OptimizerConfig, init_adam
+from gstk_tpu.train.step import init_train_state, make_train_step
+from gstk_tpu.train.strategy import RefineState, init_refine_state, refine
+
+H, W = 40, 56
+RASTER = RasterizeConfig(chunk_size=16, isect_capacity=1 << 13)
+
+
+def _cameras(n=4):
+    cams = []
+    for i in range(n):
+        ang = 0.3 * (i - n / 2) / n
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        c2w = np.zeros((3, 4), np.float32)
+        c2w[:3, :3] = rot
+        c2w[:3, 3] = rot @ np.array([0, 0, 5.0], np.float32)
+        cams.append(
+            Camera(
+                fx=jnp.float32(50.0), fy=jnp.float32(50.0),
+                cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+                c2w=jnp.asarray(c2w),
+            )
+        )
+    return cams
+
+
+def _gt_scene(rng, n=120, capacity=128):
+    pts = rng.uniform(-1.6, 1.6, (n, 3)).astype(np.float32)
+    rgb = rng.uniform(40, 215, (n, 3)).astype(np.float32)
+    scene = init_scene(jax.random.PRNGKey(7), capacity, (pts, rgb), sh_degree=0)
+    # make them opaque-ish so images have structure
+    return scene._replace(
+        opacities=jnp.full_like(scene.opacities, 1.5),
+        scales=scene.scales + 0.5,
+    )
+
+
+def test_training_improves_psnr(rng):
+    gt_scene = _gt_scene(rng)
+    cams = _cameras(4)
+    gt_imgs = [
+        render_scene(
+            gt_scene, c, H, W, sh_degree=0,
+            background=jnp.zeros(3), raster_config=RASTER,
+        )["rgb"]
+        for c in cams
+    ]
+
+    # Start from the same geometry but perturbed colors/opacities.
+    start = gt_scene._replace(
+        features_dc=gt_scene.features_dc
+        + jnp.asarray(rng.normal(0, 2.0, gt_scene.features_dc.shape), jnp.float32),
+        opacities=jnp.zeros_like(gt_scene.opacities),
+    )
+    model_cfg = VanillaConfig(background_color="black", sh_degree=0)
+    step_fn = jax.jit(
+        make_train_step(
+            model_cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0
+        )
+    )
+    state = init_train_state(start)
+    first_psnr = last_psnr = None
+    key = jax.random.PRNGKey(3)
+    for i in range(60):
+        key, k = jax.random.split(key)
+        cam_i = i % len(cams)
+        state, metrics = step_fn(state, cams[cam_i], gt_imgs[cam_i], k)
+        if i == 0:
+            first_psnr = float(metrics["psnr"])
+        last_psnr = float(metrics["psnr"])
+    assert np.isfinite(last_psnr)
+    assert last_psnr > first_psnr + 3.0, (first_psnr, last_psnr)
+
+
+def _mk_refine_inputs(rng, capacity=64, n=40):
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    scene = init_scene(jax.random.PRNGKey(1), capacity, (pts, rgb), sh_degree=0)
+    adam = init_adam(scene.params())
+    return scene, adam
+
+
+def test_refine_splits_and_dups(rng):
+    scene, adam = _mk_refine_inputs(rng)
+    cfg = VanillaConfig(
+        warmup_length=0, refine_every=10, reset_alpha_every=30,
+        densify_grad_thresh=1e-9, stop_split_at=10_000,
+    )
+    n0 = int(scene.num_alive)
+    # big grads on all alive lanes; half big scales (split), half small (dup)
+    scales = np.asarray(scene.scales).copy()
+    scales[: n0 // 2] = np.log(0.05)   # > densify_size_thresh -> split
+    scales[n0 // 2 : n0] = np.log(0.001)  # small -> dup
+    scene = scene._replace(scales=jnp.asarray(scales))
+    rs = RefineState(
+        xys_grad_norm=jnp.full((scene.capacity,), 1.0),
+        vis_counts=jnp.full((scene.capacity,), 1.0),
+        max_2dsize=jnp.zeros((scene.capacity,)),
+    )
+    # pick a step inside the densify window
+    step = jnp.int32(150)
+    new_scene, new_adam, new_rs, info = jax.jit(
+        lambda s, a, r, st, k: refine(s, a, r, st, k, cfg, 4, max(H, W))
+    )(scene, adam, rs, step, jax.random.PRNGKey(0))
+    assert int(info["num_split"]) == n0 // 2
+    assert int(info["num_dup"]) == n0 - n0 // 2
+    # splits remove original, add 2; dups add 1 (capacity permitting)
+    expected = n0 - n0 // 2 + 2 * (n0 // 2) + (n0 - n0 // 2) - int(info["num_dropped"])
+    assert int(new_scene.num_alive) == min(expected, scene.capacity)
+    assert np.all(np.isfinite(np.asarray(new_scene.means)))
+    # stats reset
+    assert float(jnp.sum(new_rs.xys_grad_norm)) == 0.0
+
+
+def test_refine_culls_transparent(rng):
+    scene, adam = _mk_refine_inputs(rng)
+    n0 = int(scene.num_alive)
+    op = np.asarray(scene.opacities).copy()
+    op[: n0 // 2] = -8.0  # sigmoid ~ 0 -> cull
+    scene = scene._replace(opacities=jnp.asarray(op))
+    cfg = VanillaConfig(warmup_length=0, refine_every=10, reset_alpha_every=30)
+    rs = init_refine_state(scene.capacity)
+    step = jnp.int32(150)  # densify window, no high grads -> cull only
+    new_scene, _, _, info = refine(
+        scene, adam, rs, step, jax.random.PRNGKey(0), cfg, 4, max(H, W)
+    )
+    assert int(info["num_cull"]) == n0 // 2
+    assert int(new_scene.num_alive) == n0 - n0 // 2
+
+
+def test_refine_opacity_reset(rng):
+    scene, adam = _mk_refine_inputs(rng)
+    scene = scene._replace(opacities=jnp.full_like(scene.opacities, 3.0))
+    adam = adam._replace(
+        mu={**adam.mu, "opacities": jnp.ones_like(adam.mu["opacities"])}
+    )
+    cfg = VanillaConfig(warmup_length=0, refine_every=10, reset_alpha_every=3)
+    rs = init_refine_state(scene.capacity)
+    step = jnp.int32(10)  # step % (3*10) == refine_every -> reset
+    new_scene, new_adam, _, info = refine(
+        scene, adam, rs, step, jax.random.PRNGKey(0), cfg, 0, max(H, W)
+    )
+    assert bool(info["did_reset"])
+    sig = np.asarray(jax.nn.sigmoid(new_scene.opacities))
+    alive = np.asarray(new_scene.alive)
+    assert np.all(sig[alive] <= 0.2 + 1e-5)
+    assert float(jnp.abs(new_adam.mu["opacities"]).max()) == 0.0
+
+
+def test_refine_respects_warmup(rng):
+    scene, adam = _mk_refine_inputs(rng)
+    cfg = VanillaConfig(warmup_length=500, refine_every=10, reset_alpha_every=30)
+    rs = RefineState(
+        xys_grad_norm=jnp.full((scene.capacity,), 10.0),
+        vis_counts=jnp.full((scene.capacity,), 1.0),
+        max_2dsize=jnp.zeros((scene.capacity,)),
+    )
+    n0 = int(scene.num_alive)
+    new_scene, _, _, info = refine(
+        scene, adam, rs, jnp.int32(150), jax.random.PRNGKey(0), cfg, 4, max(H, W)
+    )
+    assert int(new_scene.num_alive) == n0  # nothing happens during warmup
