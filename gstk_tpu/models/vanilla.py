@@ -135,10 +135,10 @@ def render_scene(
     # One fused pass: RGB + depth as a 4th channel (depth background = 0).
     colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     bg4 = jnp.concatenate([background, jnp.zeros(1, background.dtype)])
-    img4, alpha = rasterize(
+    img4, alpha, raster_info = rasterize(
         xys, proj.depths, radii, proj.conics, num_tiles_hit,
         colors4, opac, img_height, img_width,
-        background=bg4, config=raster_config,
+        background=bg4, config=raster_config, return_info=True,
     )
     rgb = jnp.minimum(img4[..., :3], 1.0)
     depth_acc = img4[..., 3]
@@ -154,6 +154,7 @@ def render_scene(
         "background": background,
         "radii": radii,
         "visible": radii > 0,
+        "num_intersects": raster_info["num_intersects"],
     }
 
 

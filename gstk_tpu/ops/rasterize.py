@@ -340,7 +340,8 @@ def rasterize(
     img_width: int,
     background: Optional[jax.Array] = None,
     config: RasterizeConfig = RasterizeConfig(),
-) -> Tuple[jax.Array, jax.Array]:
+    return_info: bool = False,
+):
     """Rasterize projected Gaussians to an image.
 
     API mirrors the reference ``rasterize_gaussians`` (rasterizer/rasterize.py:14)
@@ -378,4 +379,6 @@ def rasterize(
     if background is not None:
         img = img + final_t_img[..., None] * background
     alpha = 1.0 - final_t_img
+    if return_info:
+        return img, alpha, {"num_intersects": isect.num_intersects}
     return img, alpha

@@ -1,0 +1,83 @@
+"""Checkpoint save/load for the full train state.
+
+Equivalent of the reference checkpointing
+(``gs_toolkit/engine/trainer.py:404-476``): one file per step named
+``step-{step:09d}.ckpt.npz`` holding the flattened TrainState pytree
+(scene params + alive mask, Adam moments, refine stats, step), with
+optional deletion of older checkpoints. Variable Gaussian count is handled
+naturally: arrays are saved at their padded capacity together with the alive
+mask, and loading into a larger capacity pads the tail (the static-shape
+analog of the reference's resize-on-load, vanilla_gs.py:236-258).
+
+Uses numpy .npz rather than orbax: single-file, dependency-light, and the
+state is pure arrays. Deterministic resume: step counter and Adam count are
+part of the state.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstk_tpu.train.step import TrainState
+
+
+def _flatten(state: TrainState):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+    out = {}
+    for path, leaf in leaves:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(
+    ckpt_dir, state: TrainState, keep_only_latest: bool = True
+) -> Path:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step = int(state.step)
+    path = ckpt_dir / f"step-{step:09d}.ckpt.npz"
+    np.savez(path, **_flatten(state))
+    if keep_only_latest:
+        for p in ckpt_dir.glob("step-*.ckpt.npz"):
+            if p != path:
+                p.unlink()
+    return path
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    best, best_step = None, -1
+    for p in ckpt_dir.glob("step-*.ckpt.npz"):
+        m = re.match(r"step-(\d+)\.ckpt\.npz", p.name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
+def load_checkpoint(path, template: TrainState) -> TrainState:
+    """Load into ``template``'s structure. If the template has a larger
+    capacity than the checkpoint, arrays are padded with dead lanes."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for pth, leaf in leaves:
+        key = "/".join(str(p) for p in pth)
+        arr = data[key]
+        leaf_shape = np.shape(leaf)
+        if arr.shape != leaf_shape:
+            if len(arr.shape) != len(leaf_shape) or arr.shape[0] > leaf_shape[0]:
+                raise ValueError(
+                    f"{key}: checkpoint shape {arr.shape} does not fit "
+                    f"template {leaf_shape}"
+                )
+            pad = [(0, leaf_shape[i] - arr.shape[i]) for i in range(arr.ndim)]
+            arr = np.pad(arr, pad)
+        new_leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

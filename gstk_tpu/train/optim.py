@@ -89,8 +89,12 @@ class OptimizerConfig:
 
 
 def init_adam(params: Params) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=dict(zeros))
+    # mu and nu must be distinct buffers (jit donation forbids aliases).
+    return AdamState(
+        count=jnp.zeros((), jnp.int32),
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+    )
 
 
 def adam_step(

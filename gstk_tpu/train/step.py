@@ -147,6 +147,7 @@ def make_train_step(
             "main_loss": maybe_pmean(ld["main_loss"]),
             "psnr": maybe_pmean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))),
             "num_alive": state.scene.num_alive,
+            "num_intersects": maybe_pmax(out["num_intersects"]),
         }
         new_state = TrainState(
             scene=state.scene.with_params(new_params),

@@ -47,8 +47,9 @@ class RefineState(NamedTuple):
 
 
 def init_refine_state(capacity: int) -> RefineState:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return RefineState(xys_grad_norm=z, vis_counts=z, max_2dsize=z)
+    # Distinct buffers per field: aliased leaves break jit buffer donation.
+    z = lambda: jnp.zeros((capacity,), jnp.float32)
+    return RefineState(xys_grad_norm=z(), vis_counts=z(), max_2dsize=z())
 
 
 def update_stats(

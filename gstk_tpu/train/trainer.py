@@ -1,0 +1,323 @@
+"""Trainer: the host-side loop around the jitted step.
+
+TPU-native equivalent of the reference ``Trainer``
+(``gs_toolkit/engine/trainer.py:82-576``). Responsibilities:
+
+  * build datamanager + scene (kNN seed init) + train state;
+  * per step: pick the coarse-to-fine resolution bucket, fetch a random
+    camera, call the cached compiled step for that (H, W, sh_degree) combo;
+  * every ``refine_every`` steps run the jitted densify/cull
+    (the reference's AFTER_TRAIN_ITERATION callbacks);
+  * grow Gaussian capacity / intersection capacity between steps when
+    utilization crosses a threshold (amortized re-trace instead of the
+    reference's per-refine tensor reallocation);
+  * eval cadence, checkpointing, writer logging, profiler.
+
+The loop stays simple and synchronous: metric fetches happen only every
+``log_every`` steps so the device never drains between steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstk_tpu.core.cameras import Camera
+from gstk_tpu.core.gaussians import grow_scene, init_scene
+from gstk_tpu.data.datamanager import CachedFrame, FullImageDatamanager
+from gstk_tpu.data.dataparser import DataparserConfig
+from gstk_tpu.models.vanilla import VanillaConfig, downscale_factor, render_scene
+from gstk_tpu.ops.rasterize import RasterizeConfig
+from gstk_tpu.train import checkpoint as ckpt
+from gstk_tpu.train.optim import OptimizerConfig
+from gstk_tpu.train.step import TrainState, init_train_state, make_train_step
+from gstk_tpu.train.strategy import init_refine_state, refine
+from gstk_tpu.utils import losses as loss_utils
+from gstk_tpu.utils.profiler import PROFILER, timer
+from gstk_tpu.utils.writer import (
+    EventName,
+    GLOBAL_WRITER,
+    JsonlWriter,
+    LocalWriter,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirrors the reference TrainerConfig + method defaults
+    (configs/method_configs.py:87-140)."""
+
+    data: Path = Path(".")
+    output_dir: Path = Path("outputs")
+    experiment_name: str = "experiment"
+    method_name: str = "gaussian-splatting"
+    max_num_iterations: int = 15_000
+    steps_per_save: int = 2_000
+    steps_per_eval_image: int = 100
+    steps_per_eval_all_images: int = 1_000
+    save_only_latest_checkpoint: bool = True
+    seed: int = 42
+    log_every: int = 10
+    model: VanillaConfig = dataclasses.field(default_factory=VanillaConfig)
+    optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    dataparser: DataparserConfig = dataclasses.field(default_factory=DataparserConfig)
+    raster_chunk: int = 32
+    initial_capacity_headroom: float = 4.0
+    capacity_growth: float = 1.5
+    isect_capacity: int = 1 << 20
+    load_dir: Optional[Path] = None
+    enable_tensorboard: bool = False
+
+    @property
+    def run_dir(self) -> Path:
+        return Path(self.output_dir) / self.experiment_name / self.method_name
+
+
+def _round_up_pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig):
+        self.config = config
+        self._step_cache: Dict = {}
+        self._render_cache: Dict = {}
+
+    # -- setup ------------------------------------------------------------
+    def setup(self) -> None:
+        cfg = self.config
+        self.run_dir = cfg.run_dir
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.datamanager = FullImageDatamanager(cfg.dataparser, seed=cfg.seed)
+        seed = self.datamanager.seed_points()
+        n_seed = (
+            seed[0].shape[0] if seed is not None else cfg.model.num_random
+        )
+        capacity = _round_up_pow2(int(n_seed * cfg.initial_capacity_headroom))
+        key = jax.random.PRNGKey(cfg.seed)
+        scene = init_scene(
+            key, capacity, seed,
+            num_random=cfg.model.num_random,
+            random_scale=cfg.model.random_scale,
+            sh_degree=cfg.model.sh_degree,
+        )
+        self.state = init_train_state(scene)
+        self.raster_cfg = RasterizeConfig(
+            chunk_size=cfg.raster_chunk, isect_capacity=cfg.isect_capacity
+        )
+        self.key = jax.random.PRNGKey(cfg.seed + 1)
+        self.writer = GLOBAL_WRITER
+        self.writer.backends = [
+            LocalWriter(cfg.max_num_iterations, cfg.log_every),
+            JsonlWriter(self.run_dir / "metrics.jsonl"),
+        ]
+        if cfg.enable_tensorboard:
+            from gstk_tpu.utils.writer import TensorBoardWriter
+
+            self.writer.backends.append(TensorBoardWriter(self.run_dir / "tb"))
+        if cfg.load_dir is not None:
+            path = ckpt.latest_checkpoint(cfg.load_dir)
+            if path is not None:
+                self.state = ckpt.load_checkpoint(path, self.state)
+                print(f"Resumed from {path}")
+        self._refine_fn = jax.jit(
+            lambda state, step, k: refine(
+                state.scene, state.adam, state.refine, step, k,
+                cfg.model, self.datamanager.num_train,
+                max(self.datamanager.image_size),
+            )
+        )
+
+    # -- step-function cache (per resolution bucket / sh degree) ----------
+    def _step_fn(self, h: int, w: int, sh_degree: int, scale_reg: bool):
+        key = (h, w, sh_degree, scale_reg, self.state.scene.capacity,
+               self.raster_cfg.isect_capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                make_train_step(
+                    self.config.model, self.raster_cfg, self.config.optim,
+                    h, w, sh_degree, apply_scale_reg=scale_reg,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._step_cache[key]
+
+    def _frame_to_device(self, frame: CachedFrame, d: int):
+        """Downscale (coarse-to-fine) and build (camera, gt, mask)."""
+        img = frame.image
+        h, w = img.shape[:2]
+        if d > 1:
+            import cv2
+
+            img = cv2.resize(img, (w // d, h // d), interpolation=cv2.INTER_AREA)
+        camera = Camera(
+            fx=jnp.float32(frame.fx / d), fy=jnp.float32(frame.fy / d),
+            cx=jnp.float32(frame.cx / d), cy=jnp.float32(frame.cy / d),
+            c2w=jnp.asarray(frame.c2w),
+        )
+        mask = None
+        if frame.mask is not None:
+            m = frame.mask
+            if d > 1:
+                m = m[::d, ::d][: img.shape[0], : img.shape[1]]
+            mask = jnp.asarray(m)
+        return camera, jnp.asarray(img), mask
+
+    # -- capacity management ----------------------------------------------
+    def _maybe_grow(self, metrics: Dict) -> None:
+        cfg = self.config
+        state = self.state
+        num_alive = int(metrics.get("num_alive", 0))
+        cap = state.scene.capacity
+        if num_alive > 0.85 * cap:
+            new_cap = _round_up_pow2(int(cap * cfg.capacity_growth))
+            print(f"Growing Gaussian capacity {cap} -> {new_cap}")
+            scene = grow_scene(state.scene, new_cap)
+            pad = lambda x: jnp.pad(
+                x, [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+            )
+            adam = state.adam._replace(
+                mu={k: pad(v) for k, v in state.adam.mu.items()},
+                nu={k: pad(v) for k, v in state.adam.nu.items()},
+            )
+            refine_state = jax.tree.map(pad, state.refine)
+            self.state = TrainState(
+                scene=scene, adam=adam, refine=refine_state, step=state.step
+            )
+            self._step_cache.clear()
+            self._refine_fn = jax.jit(
+                lambda s, step, k: refine(
+                    s.scene, s.adam, s.refine, step, k,
+                    cfg.model, self.datamanager.num_train,
+                    max(self.datamanager.image_size),
+                )
+            )
+        n_isect = int(metrics.get("num_intersects", 0))
+        if n_isect > 0.9 * self.raster_cfg.isect_capacity:
+            new_isect = _round_up_pow2(int(n_isect * 2))
+            print(
+                f"Growing intersection capacity "
+                f"{self.raster_cfg.isect_capacity} -> {new_isect}"
+            )
+            self.raster_cfg = dataclasses.replace(
+                self.raster_cfg, isect_capacity=new_isect
+            )
+            self._step_cache.clear()
+
+    # -- main loop ---------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.config
+        h_full, w_full = self.datamanager.image_size
+        start_step = int(self.state.step)
+        t_start = time.time()
+        metrics_host: Dict = {}
+        for step in range(start_step, cfg.max_num_iterations):
+            t_iter = time.perf_counter()
+            d = downscale_factor(cfg.model, step)
+            h, w = h_full // d, w_full // d
+            sh_degree = min(
+                step // cfg.model.sh_degree_interval, cfg.model.sh_degree
+            )
+            scale_reg = cfg.model.use_scale_regularization and step % 10 == 0
+            _, frame = self.datamanager.next_train()
+            camera, gt, mask = self._frame_to_device(frame, d)
+            self.key, k = jax.random.split(self.key)
+            step_fn = self._step_fn(h, w, sh_degree, scale_reg)
+            with timer("train_iteration"):
+                self.state, metrics = step_fn(self.state, camera, gt, k, mask)
+
+            if (step + 1) % cfg.model.refine_every == 0:
+                self.key, k2 = jax.random.split(self.key)
+                with timer("refinement"):
+                    scene, adam, refine_state, info = self._refine_fn(
+                        self.state, self.state.step, k2
+                    )
+                    self.state = TrainState(
+                        scene=scene, adam=adam, refine=refine_state,
+                        step=self.state.step,
+                    )
+
+            if step % cfg.log_every == 0 or step == cfg.max_num_iterations - 1:
+                metrics_host = {k_: float(v) for k_, v in metrics.items()}
+                dt = time.perf_counter() - t_iter
+                self.writer.put_dict(metrics_host, step)
+                self.writer.put_scalar(
+                    EventName.TRAIN_RAYS_PER_SEC, h * w / max(dt, 1e-9), step
+                )
+                self.writer.put_scalar(EventName.ITER_TRAIN_TIME, dt, step)
+                self.writer.write_out_storage()
+                self._maybe_grow(metrics_host)
+
+            if (step + 1) % cfg.steps_per_save == 0:
+                with timer("save_checkpoint"):
+                    ckpt.save_checkpoint(
+                        self.run_dir / "ckpts", self.state,
+                        cfg.save_only_latest_checkpoint,
+                    )
+            if (
+                cfg.steps_per_eval_all_images > 0
+                and (step + 1) % cfg.steps_per_eval_all_images == 0
+            ):
+                self.eval_all(step)
+
+        ckpt.save_checkpoint(
+            self.run_dir / "ckpts", self.state, cfg.save_only_latest_checkpoint
+        )
+        total = time.time() - t_start
+        print(f"Training done in {total / 60:.1f} min. {PROFILER.report()}")
+
+    # -- eval ---------------------------------------------------------------
+    def _render_eval(self, frame: CachedFrame):
+        h, w = frame.image.shape[:2]
+        key = (h, w, self.state.scene.capacity, self.raster_cfg.isect_capacity)
+        if key not in self._render_cache:
+            cfg = self.config
+
+            def render_fn(scene, camera):
+                return render_scene(
+                    scene, camera, h, w,
+                    sh_degree=cfg.model.sh_degree,
+                    background=jnp.asarray([0.1490, 0.1647, 0.2157]),
+                    config=cfg.model, raster_config=self.raster_cfg,
+                )
+
+            self._render_cache[key] = jax.jit(render_fn)
+        camera = Camera(
+            fx=jnp.float32(frame.fx), fy=jnp.float32(frame.fy),
+            cx=jnp.float32(frame.cx), cy=jnp.float32(frame.cy),
+            c2w=jnp.asarray(frame.c2w),
+        )
+        return self._render_cache[key](self.state.scene, camera)
+
+    def eval_all(self, step: int) -> Dict[str, float]:
+        frames = self.datamanager.eval_frames
+        if not frames:
+            return {}
+        psnrs, ssims = [], []
+        t0 = time.perf_counter()
+        for frame in frames:
+            out = self._render_eval(frame)
+            pred = np.asarray(out["rgb"])
+            gt = frame.image
+            mse = float(np.mean((pred - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            ssims.append(
+                float(loss_utils.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+            )
+        dt = time.perf_counter() - t0
+        h, w = frames[0].image.shape[:2]
+        results = {
+            "eval_psnr": float(np.mean(psnrs)),
+            "eval_ssim": float(np.mean(ssims)),
+            "fps": len(frames) / dt,
+            "num_rays_per_sec": len(frames) * h * w / dt,
+        }
+        self.writer.put_dict(results, step)
+        self.writer.write_out_storage()
+        return results
