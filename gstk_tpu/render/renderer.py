@@ -1,0 +1,82 @@
+"""Offline renderer: checkpoint -> (pose in, rgb/depth out).
+
+Equivalent of the reference ``Renderer`` (``gs_toolkit/render/renderer.py:11-90``)
+which wraps ``eval_setup`` + ``model.get_outputs_for_camera``: load a trained
+scene from a checkpoint, then render arbitrary camera poses. Render functions
+are jit-cached per image size.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstk_tpu.core.cameras import Camera
+from gstk_tpu.core.gaussians import GaussianScene
+from gstk_tpu.models.vanilla import VanillaConfig, render_scene
+from gstk_tpu.ops.rasterize import RasterizeConfig
+from gstk_tpu.train.checkpoint import latest_checkpoint, load_scene
+
+
+class Renderer:
+    def __init__(
+        self,
+        checkpoint: Union[str, Path],
+        model_config: VanillaConfig = VanillaConfig(),
+        raster_config: Optional[RasterizeConfig] = None,
+        background=(0.0, 0.0, 0.0),
+    ):
+        path = Path(checkpoint)
+        if path.is_dir():
+            found = latest_checkpoint(path)
+            if found is None:
+                found = latest_checkpoint(path / "ckpts")
+            if found is None:
+                raise FileNotFoundError(f"no checkpoint under {path}")
+            path = found
+        self.scene, self.step = load_scene(path)
+        self.model_config = model_config
+        if raster_config is None:
+            # generous default intersection budget for offline rendering
+            raster_config = RasterizeConfig(isect_capacity=1 << 21)
+        self.raster_config = raster_config
+        self.background = jnp.asarray(background, jnp.float32)
+        self._cache: Dict = {}
+
+    def _render_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._cache:
+            cfg = self.model_config
+
+            def fn(scene: GaussianScene, camera: Camera):
+                return render_scene(
+                    scene, camera, h, w,
+                    sh_degree=cfg.sh_degree, background=self.background,
+                    config=cfg, raster_config=self.raster_config,
+                )
+
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def get_output_from_pose(
+        self, c2w: np.ndarray, fx: float, fy: float, cx: float, cy: float,
+        height: int, width: int,
+    ) -> Dict[str, np.ndarray]:
+        """Render one pose ((3,4) or (4,4) OpenGL c2w). Returns numpy rgb
+        (H,W,3), depth (H,W), accumulation (H,W)."""
+        c2w = np.asarray(c2w, np.float32)
+        camera = Camera(
+            fx=jnp.float32(fx), fy=jnp.float32(fy),
+            cx=jnp.float32(cx), cy=jnp.float32(cy),
+            c2w=jnp.asarray(c2w[:3, :4]),
+        )
+        out = self._render_fn(height, width)(self.scene, camera)
+        return {
+            "rgb": np.asarray(out["rgb"]),
+            "depth": np.asarray(out["depth"]),
+            "accumulation": np.asarray(out["alpha"]),
+        }

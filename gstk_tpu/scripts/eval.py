@@ -1,0 +1,104 @@
+"""gs-eval: compute PSNR/SSIM/(LPIPS) over the eval split -> JSON.
+
+Equivalent of ``ComputePSNR`` (``gs_toolkit/scripts/eval.py:17-56``): loads
+the saved config + latest checkpoint, renders every eval image, writes a
+JSON with per-run metrics (fps / rays-per-sec included, matching
+pipelines/base_pipeline.py:277-353). LPIPS requires pretrained VGG weights;
+when torchvision weights are unavailable offline it is reported as null.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def compute_lpips(pairs):
+    """Optional LPIPS (AlexNet/VGG features); returns None if weights are
+    unavailable in this environment (zero-egress)."""
+    try:
+        import torch
+        from torchvision.models import vgg16
+
+        net = vgg16(weights="IMAGENET1K_V1").features.eval()
+    except Exception:
+        return None
+    import torch
+
+    vals = []
+    with torch.no_grad():
+        for gt, pred in pairs:
+            a = torch.from_numpy(gt).permute(2, 0, 1)[None] * 2 - 1
+            b = torch.from_numpy(pred).permute(2, 0, 1)[None] * 2 - 1
+            fa, fb, loss = a, b, 0.0
+            for layer in net:
+                fa, fb = layer(fa), layer(fb)
+                if isinstance(layer, torch.nn.ReLU):
+                    na = fa / (fa.norm(dim=1, keepdim=True) + 1e-10)
+                    nb = fb / (fb.norm(dim=1, keepdim=True) + 1e-10)
+                    loss = loss + ((na - nb) ** 2).mean().item()
+            vals.append(loss)
+    return float(np.mean(vals))
+
+
+def main(argv=None) -> None:
+    import jax.numpy as jnp
+
+    from gstk_tpu.configs.serialize import load_config
+    from gstk_tpu.data.datamanager import FullImageDatamanager
+    from gstk_tpu.render.renderer import Renderer
+    from gstk_tpu.utils import losses
+
+    parser = argparse.ArgumentParser("gs-eval")
+    parser.add_argument("--load-config", type=Path, required=True)
+    parser.add_argument("--output-path", type=Path, default=Path("eval.json"))
+    parser.add_argument("--skip-lpips", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.load_config)
+    run_dir = args.load_config.parent
+    renderer = Renderer(run_dir / "ckpts", model_config=config.model)
+    dm = FullImageDatamanager(config.dataparser, seed=config.seed)
+
+    psnrs, ssims, pairs = [], [], []
+    t0 = time.perf_counter()
+    n_rays = 0
+    for frame in dm.eval_frames:
+        h, w = frame.image.shape[:2]
+        out = renderer.get_output_from_pose(
+            frame.c2w, frame.fx, frame.fy, frame.cx, frame.cy, h, w
+        )
+        mse = float(np.mean((out["rgb"] - frame.image) ** 2))
+        psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+        ssims.append(
+            float(losses.ssim(jnp.asarray(frame.image), jnp.asarray(out["rgb"])))
+        )
+        pairs.append((frame.image, out["rgb"]))
+        n_rays += h * w
+    dt = time.perf_counter() - t0
+
+    lpips = None if args.skip_lpips else compute_lpips(pairs)
+    results = {
+        "experiment_name": config.experiment_name,
+        "method_name": config.method_name,
+        "checkpoint": str(renderer.step),
+        "results": {
+            "psnr": float(np.mean(psnrs)) if psnrs else None,
+            "ssim": float(np.mean(ssims)) if ssims else None,
+            "lpips": lpips,
+            "num_images": len(psnrs),
+            "fps": len(psnrs) / dt if psnrs else 0.0,
+            "num_rays_per_sec": n_rays / dt,
+        },
+    }
+    args.output_path.parent.mkdir(parents=True, exist_ok=True)
+    args.output_path.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

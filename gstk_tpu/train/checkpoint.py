@@ -61,6 +61,27 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
     return best
 
 
+def load_scene(path):
+    """Load just the GaussianScene (+step) from a checkpoint — enough for
+    rendering/eval/export (the reference's eval_load_checkpoint,
+    utils/eval_utils.py:20-57)."""
+    from gstk_tpu.core.gaussians import GaussianScene
+
+    data = np.load(path)
+    get = lambda name: jnp.asarray(data[f".scene/.{name}"])
+    scene = GaussianScene(
+        means=get("means"),
+        scales=get("scales"),
+        quats=get("quats"),
+        features_dc=get("features_dc"),
+        features_rest=get("features_rest"),
+        opacities=get("opacities"),
+        alive=get("alive"),
+    )
+    step = int(data[".step"]) if ".step" in data else 0
+    return scene, step
+
+
 def load_checkpoint(path, template: TrainState) -> TrainState:
     """Load into ``template``'s structure. If the template has a larger
     capacity than the checkpoint, arrays are padded with dead lanes."""

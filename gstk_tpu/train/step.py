@@ -73,14 +73,22 @@ def make_train_step(
     sh_degree: int,
     apply_scale_reg: bool = False,
     axis_name: Optional[str] = None,
+    frozen_groups: tuple = (),
 ):
     """Build the step function for a static (image size, sh degree) config.
 
     The returned function has signature
-    ``(state, camera, gt_image, key) -> (state, metrics)`` where ``gt_image``
-    is (H, W, 3|4) float in [0,1]. Under ``shard_map`` pass ``axis_name`` to
-    psum gradients and densify statistics across the data axis.
+    ``(state, camera, gt_image, key, mask=None, depth=None, mono_scale=None,
+    mono_shift=None) -> (state, metrics)`` where ``gt_image`` is (H, W, 3|4)
+    float in [0,1]. If ``model_cfg`` is a DepthConfig and ``depth`` is given,
+    the co-gs depth-loss zoo is added (gates traced on the step counter).
+    Under ``shard_map`` pass ``axis_name`` to psum gradients and densify
+    statistics across the data axis. ``frozen_groups`` (e.g. ("means",) for
+    surface-gs) receive no parameter updates.
     """
+    from gstk_tpu.models.depth import DepthConfig, depth_loss_terms
+
+    is_depth_model = isinstance(model_cfg, DepthConfig)
     maybe_psum = (
         (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     )
@@ -98,8 +106,11 @@ def make_train_step(
         gt_image: jax.Array,
         key: jax.Array,
         mask: Optional[jax.Array] = None,
+        depth: Optional[jax.Array] = None,
+        mono_scale: Optional[jax.Array] = None,
+        mono_shift: Optional[jax.Array] = None,
     ) -> Tuple[TrainState, dict]:
-        kbg, _ = jax.random.split(key)
+        kbg, kdepth = jax.random.split(key)
         background = _background(kbg, model_cfg.background_color)
         gt = composite_gt_with_background(gt_image, background)
         params = state.scene.params()
@@ -114,7 +125,14 @@ def make_train_step(
                 xys_offset=xys_off,
             )
             ld = rgb_loss(out["rgb"], gt, scn, model_cfg, mask, apply_scale_reg)
-            total = ld["main_loss"] + ld["scale_reg"]
+            if is_depth_model:
+                extra = depth_loss_terms(
+                    model_cfg, state.step, out["depth"], depth, gt, scn,
+                    kdepth, mask=mask, mono_scale=mono_scale,
+                    mono_shift=mono_shift, camera=camera,
+                )
+                ld.update(extra)
+            total = sum(ld.values())
             return total, (out, ld)
 
         (loss, (out, ld)), (grads, g_xys) = jax.value_and_grad(
@@ -122,6 +140,11 @@ def make_train_step(
         )(params, xys_zero)
 
         grads = jax.tree.map(maybe_pmean, grads)
+        if frozen_groups:
+            grads = {
+                k: (jnp.zeros_like(v) if k in frozen_groups else v)
+                for k, v in grads.items()
+            }
         new_params, new_adam = adam_step(
             params, grads, state.adam, state.step, optim_cfg,
             update_mask=state.scene.alive,

@@ -139,10 +139,16 @@ class Trainer:
         key = (h, w, sh_degree, scale_reg, self.state.scene.capacity,
                self.raster_cfg.isect_capacity)
         if key not in self._step_cache:
+            frozen = (
+                ("means",)
+                if getattr(self.config.model, "freeze_means", False)
+                else ()
+            )
             self._step_cache[key] = jax.jit(
                 make_train_step(
                     self.config.model, self.raster_cfg, self.config.optim,
                     h, w, sh_degree, apply_scale_reg=scale_reg,
+                    frozen_groups=frozen,
                 ),
                 donate_argnums=(0,),
             )
@@ -167,7 +173,19 @@ class Trainer:
             if d > 1:
                 m = m[::d, ::d][: img.shape[0], : img.shape[1]]
             mask = jnp.asarray(m)
-        return camera, jnp.asarray(img), mask
+        depth = None
+        if frame.depth is not None:
+            dm = frame.depth
+            if d > 1:
+                dm = dm[::d, ::d][: img.shape[0], : img.shape[1]]
+            depth = jnp.asarray(dm)
+        mono_scale = (
+            jnp.float32(frame.mono_scale) if frame.mono_scale is not None else None
+        )
+        mono_shift = (
+            jnp.float32(frame.mono_shift) if frame.mono_shift is not None else None
+        )
+        return camera, jnp.asarray(img), mask, depth, mono_scale, mono_shift
 
     # -- capacity management ----------------------------------------------
     def _maybe_grow(self, metrics: Dict) -> None:
@@ -226,11 +244,15 @@ class Trainer:
             )
             scale_reg = cfg.model.use_scale_regularization and step % 10 == 0
             _, frame = self.datamanager.next_train()
-            camera, gt, mask = self._frame_to_device(frame, d)
+            camera, gt, mask, depth, mscale, mshift = self._frame_to_device(
+                frame, d
+            )
             self.key, k = jax.random.split(self.key)
             step_fn = self._step_fn(h, w, sh_degree, scale_reg)
             with timer("train_iteration"):
-                self.state, metrics = step_fn(self.state, camera, gt, k, mask)
+                self.state, metrics = step_fn(
+                    self.state, camera, gt, k, mask, depth, mscale, mshift
+                )
 
             if (step + 1) % cfg.model.refine_every == 0:
                 self.key, k2 = jax.random.split(self.key)

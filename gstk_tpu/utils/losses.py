@@ -117,6 +117,71 @@ def local_pearson_loss(
     return jax.vmap(box_loss)(x0, y0).mean()
 
 
+def log_depth_gradient_loss(
+    pred_depth: jax.Array, gt_depth: jax.Array, gt_img: jax.Array,
+    mono_scale: jax.Array, mono_shift: jax.Array,
+) -> jax.Array:
+    """Scale/shift-corrected log-L1 with image-gradient weighting
+    (reference depth_gs.py:492-519): logl1 = log(1 + |gt - (s*pred + c)|),
+    weighted by exp(-|dI|) along x and y."""
+    scaled = mono_scale * pred_depth + mono_shift
+    logl1 = jnp.log1p(jnp.abs(gt_depth - scaled))
+    gx = jnp.exp(-jnp.abs(gt_img[:, :-1, :] - gt_img[:, 1:, :]).mean(-1))
+    gy = jnp.exp(-jnp.abs(gt_img[:-1, :, :] - gt_img[1:, :, :]).mean(-1))
+    return (gx * logl1[:, :-1]).mean() + (gy * logl1[:-1, :]).mean()
+
+
+def local_planar_loss(
+    depth: jax.Array,
+    fx, fy, cx, cy,
+    key: jax.Array,
+    patch_size: int = 32,
+    n_patches: int = 16,
+) -> jax.Array:
+    """Planarity prior: least-squares plane fit over random depth patches,
+    penalizing point-to-plane distances.
+
+    Differentiable re-design of the reference's RANSAC plane regression
+    (utils/losses.py:86-195, invoked via CogsPipeline.add_planar_loss,
+    cogs_pipeline.py:60-77): RANSAC's argmax inlier selection doesn't
+    differentiate or vectorize on TPU, so we fit each patch's plane in closed
+    form (smallest eigenvector of the centered covariance) — the same prior,
+    XLA-friendly."""
+    h, w = depth.shape
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.randint(kx, (n_patches,), 0, max(w - patch_size, 1))
+    y0 = jax.random.randint(ky, (n_patches,), 0, max(h - patch_size, 1))
+    jj, ii = jnp.meshgrid(jnp.arange(patch_size), jnp.arange(patch_size))
+
+    def patch_loss(px, py):
+        d = jax.lax.dynamic_slice(depth, (py, px), (patch_size, patch_size))
+        u = (px + jj - cx) / fx
+        v = (py + ii - cy) / fy
+        pts = jnp.stack([u * d, v * d, d], axis=-1).reshape(-1, 3)
+        c = pts.mean(axis=0)
+        centered = pts - c
+        cov = centered.T @ centered / pts.shape[0]
+        # smallest eigenvector = plane normal
+        w_, v_ = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3))
+        normal = v_[:, 0]
+        dist = jnp.abs(centered @ normal)
+        return dist.mean()
+
+    return jax.vmap(patch_loss)(x0, y0).mean()
+
+
+def sparse_opacity_loss(opacities_sigmoid: jax.Array, alive: jax.Array) -> jax.Array:
+    """Entropy-style sparsity on opacities: push toward 0 or 1.
+
+    The reference computes log(op) + log(1-op) on the *logit* parameters
+    (depth_gs.py:463-468) which is NaN for logits outside (0,1) — clearly
+    intended for sigmoid space; we apply it there."""
+    op = jnp.clip(opacities_sigmoid, 1e-6, 1.0 - 1e-6)
+    term = jnp.log(op) + jnp.log(1.0 - op)
+    term = jnp.where(alive, term, 0.0)
+    return term.sum() / jnp.maximum(alive.sum(), 1)
+
+
 def edge_aware_smooth_loss(depth: jax.Array, image: jax.Array) -> jax.Array:
     """Edge-weighted depth smoothness: depth gradients are penalized less
     across image edges (stands in for the reference's canny-masked
