@@ -1,0 +1,180 @@
+"""process_data tests: COLMAP binary IO roundtrip, transforms conversion,
+depth alignment math."""
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from gstk_tpu.process_data.colmap import (
+    colmap_to_json,
+    export_point_cloud_ply,
+    qvec_to_rotmat,
+    read_cameras_binary,
+    read_images_binary,
+    read_points3d_binary,
+)
+from gstk_tpu.process_data.depth_align import align_mono_depth, align_sensor_depth
+
+
+def _write_colmap_model(d: Path, rng, n_images=4, n_points=60, w=64, h=48):
+    """Write a synthetic COLMAP binary model with consistent geometry."""
+    d.mkdir(parents=True, exist_ok=True)
+    fx = 60.0
+    # cameras.bin: one PINHOLE camera
+    with open(d / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, w, h))
+        f.write(struct.pack("<4d", fx, fx, w / 2, h / 2))
+
+    # Rejection-sample points so integer pixels are unique in every view —
+    # pixel collisions would corrupt the exact-alignment tests below.
+    def pixels(p):
+        cols = []
+        for i in range(n_images):
+            t = np.array([0.3 * i - 0.5, 0.0, 0.0])
+            c = p + t
+            u = (fx * c[:, 0] / c[:, 2] + w / 2).astype(int)
+            v = (fx * c[:, 1] / c[:, 2] + h / 2).astype(int)
+            cols.append(v * w + u)
+        return np.stack(cols)
+
+    pts_list = []
+    seen = [set() for _ in range(n_images)]
+    while len(pts_list) < n_points:
+        p = rng.uniform(-1, 1, (1, 3))
+        p[:, 2] += 4.0
+        pix = pixels(p)[:, 0]
+        if any(pix[i] in seen[i] for i in range(n_images)):
+            continue
+        for i in range(n_images):
+            seen[i].add(pix[i])
+        pts_list.append(p[0])
+    pts = np.asarray(pts_list)
+
+    images = []
+    obs = {pid: [] for pid in range(1, n_points + 1)}
+    for i in range(n_images):
+        qvec = np.array([1.0, 0, 0, 0])
+        tvec = np.array([0.3 * i - 0.5, 0.0, 0.0])
+        rot = qvec_to_rotmat(qvec)
+        cam_pts = (rot @ pts.T).T + tvec
+        uv = np.stack(
+            [
+                fx * cam_pts[:, 0] / cam_pts[:, 2] + w / 2,
+                fx * cam_pts[:, 1] / cam_pts[:, 2] + h / 2,
+            ],
+            axis=-1,
+        )
+        vis = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        xys, pids = [], []
+        for pid0 in range(n_points):
+            if vis[pid0]:
+                obs[pid0 + 1].append((i + 1, len(xys)))
+                xys.append(uv[pid0])
+                pids.append(pid0 + 1)
+        images.append((i + 1, qvec, tvec, f"frame_{i:03d}.jpg", xys, pids))
+
+    with open(d / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im_id, qvec, tvec, name, xys, pids in images:
+            f.write(struct.pack("<idddddddi", im_id, *qvec, *tvec, 1))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", len(xys)))
+            for xy, pid in zip(xys, pids):
+                f.write(struct.pack("<ddq", xy[0], xy[1], pid))
+
+    with open(d / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_points))
+        for pid0 in range(n_points):
+            track = obs[pid0 + 1]
+            f.write(
+                struct.pack(
+                    "<QdddBBBdQ", pid0 + 1, *pts[pid0], 100, 120, 140, 0.5,
+                    len(track),
+                )
+            )
+            for im_id, idx in track:
+                f.write(struct.pack("<ii", im_id, idx))
+    return pts, fx
+
+
+def test_colmap_binary_roundtrip(tmp_path, rng):
+    pts, fx = _write_colmap_model(tmp_path / "sparse", rng)
+    cams = read_cameras_binary(tmp_path / "sparse" / "cameras.bin")
+    assert cams[1].model == "PINHOLE" and cams[1].width == 64
+    imgs = read_images_binary(tmp_path / "sparse" / "images.bin")
+    assert len(imgs) == 4
+    assert imgs[1].name == "frame_000.jpg"
+    assert (imgs[1].point3d_ids > 0).all()
+    p3d = read_points3d_binary(tmp_path / "sparse" / "points3D.bin")
+    np.testing.assert_allclose(p3d[1].xyz, pts[0], rtol=1e-6)
+    assert len(p3d[1].image_ids) >= 1
+
+
+def test_colmap_to_json(tmp_path, rng):
+    _write_colmap_model(tmp_path / "sparse", rng)
+    n = colmap_to_json(tmp_path / "sparse", tmp_path)
+    assert n == 4
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    assert meta["camera_model"] == "OPENCV"
+    assert abs(meta["fl_x"] - 60.0) < 1e-6
+    assert len(meta["frames"]) == 4
+    c2w = np.asarray(meta["frames"][0]["transform_matrix"])
+    assert c2w.shape == (4, 4)
+    np.testing.assert_allclose(c2w[3], [0, 0, 0, 1], atol=1e-9)
+    # rotation orthonormal
+    r = c2w[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+    n_pts = export_point_cloud_ply(tmp_path / "sparse", tmp_path / "pc.ply")
+    assert n_pts == 60
+
+
+def test_align_sensor_depth(tmp_path, rng):
+    _write_colmap_model(tmp_path / "sparse", rng)
+    from gstk_tpu.process_data.colmap import read_model
+
+    cams, imgs, points = read_model(tmp_path / "sparse")
+    true_scale = 0.1  # measured = 0.1 * sfm units (keeps mm within (30, 1000) filter)
+
+    def lookup(name):
+        # perfect synthetic sensor depth in mm: scale * sfm depth * 1000
+        im = next(i for i in imgs.values() if i.name == name)
+        rot = qvec_to_rotmat(im.qvec)
+        depth = np.zeros((48, 64), np.float64)
+        for k, pid in enumerate(im.point3d_ids):
+            z = (rot @ points[pid].xyz)[2] + im.tvec[2]
+            u, v = im.xys[k].astype(int)
+            if 0 <= u < 64 and 0 <= v < 48:
+                depth[v, u] = z * true_scale * 1000
+        return depth
+
+    scale = align_sensor_depth(imgs, points, lookup, 64, 48)
+    # pixel collisions in the synthetic depth map perturb a few ratios
+    np.testing.assert_allclose(scale, true_scale, rtol=1e-2)
+
+
+def test_align_mono_depth(tmp_path, rng):
+    _write_colmap_model(tmp_path / "sparse", rng)
+    from gstk_tpu.process_data.colmap import read_model
+
+    cams, imgs, points = read_model(tmp_path / "sparse")
+    m_true, c_true = 40.0, 10.0  # est/255 = (m z + c)/255
+
+    def lookup(name):
+        im = next(i for i in imgs.values() if i.name == name)
+        rot = qvec_to_rotmat(im.qvec)
+        depth = np.zeros((48, 64), np.float64)
+        for k, pid in enumerate(im.point3d_ids):
+            z = (rot @ points[pid].xyz)[2] + im.tvec[2]
+            u, v = im.xys[k].astype(int)
+            if 0 <= u < 64 and 0 <= v < 48:
+                depth[v, u] = m_true * z + c_true
+        return depth
+
+    scales, shifts = align_mono_depth(imgs, points, lookup, 64, 48)
+    assert len(scales) == 4
+    for im_id in scales:
+        np.testing.assert_allclose(scales[im_id], m_true / 255.0, rtol=5e-2)
+        np.testing.assert_allclose(shifts[im_id], c_true / 255.0, rtol=2e-1)
