@@ -17,6 +17,7 @@ rendering on an RTX 3090 => with the common ~1/3 fwd:fwd+bwd ratio that is
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,6 +27,14 @@ EXTERNAL_BASELINE_RAYS_PER_S = 9.0e7
 
 def main():
     import jax
+
+    # Persistent compile cache: the first bench run on a machine pays the
+    # (slow, tunneled) TPU compile; later runs start hot.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from gstk_tpu.core.cameras import Camera
@@ -35,9 +44,10 @@ def main():
     from gstk_tpu.train.optim import OptimizerConfig
     from gstk_tpu.train.step import init_train_state, make_train_step
 
-    img_h = img_w = 800
-    n = 100_000
-    capacity = 1 << 17
+    img_h = img_w = int(os.environ.get("BENCH_RES", 800))
+    n = int(os.environ.get("BENCH_N", 100_000))
+    capacity = int(os.environ.get("BENCH_CAP", 1 << 17))
+    isect_capacity = int(os.environ.get("BENCH_ISECT", 1 << 21))
 
     rng = np.random.default_rng(0)
     # OpenGL c2w identity at origin: camera looks along world -z.
@@ -53,7 +63,7 @@ def main():
         c2w=jnp.asarray(c2w),
     )
 
-    raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=1 << 21)
+    raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=isect_capacity)
     step_fn = jax.jit(
         make_train_step(
             VanillaConfig(sh_degree=3, background_color="black"),

@@ -98,3 +98,43 @@ def bin_gaussians(
         tile_bins=tile_bins,
         num_intersects=total,
     )
+
+
+def pad_tile_ranges(
+    isect: Intersections, num_tiles: int, align: int, sentinel: int
+) -> Intersections:
+    """Re-lay the sorted intersection list so every tile's range starts at a
+    multiple of ``align`` (and is ``align``-padded), with padding entries set
+    to ``sentinel``.
+
+    This gives the Pallas kernels exclusive ownership of whole ``align``-wide
+    blocks per tile: chunk DMAs are aligned, and the backward kernel's
+    per-intersection gradient writes are disjoint across the tile grid (the
+    no-atomics requirement on TPU). Output capacity is the static
+    ``capacity + num_tiles * align``.
+    """
+    cap = isect.gaussian_ids.shape[0]
+    counts = isect.tile_bins[:, 1] - isect.tile_bins[:, 0]
+    padded_counts = ((counts + align - 1) // align) * align
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
+    )
+    padded_cap = cap + num_tiles * align
+
+    # destination index of each sorted entry
+    entry_tile = jnp.clip(isect.tile_ids, 0, num_tiles - 1)
+    rank = jnp.arange(cap, dtype=jnp.int32) - isect.tile_bins[entry_tile, 0]
+    dst = padded_start[entry_tile] + rank
+    dst = jnp.where(isect.tile_ids < num_tiles, dst, padded_cap)  # drop sentinels
+
+    out_gid = jnp.full((padded_cap,), sentinel, jnp.int32)
+    out_gid = out_gid.at[dst].set(isect.gaussian_ids, mode="drop")
+    out_tile = jnp.full((padded_cap,), num_tiles, jnp.int32)
+    out_tile = out_tile.at[dst].set(isect.tile_ids, mode="drop")
+    new_bins = jnp.stack([padded_start, padded_start + counts], axis=-1)
+    return Intersections(
+        gaussian_ids=out_gid,
+        tile_ids=out_tile,
+        tile_bins=new_bins,
+        num_intersects=isect.num_intersects,
+    )

@@ -1,0 +1,346 @@
+"""Pallas TPU kernels for tile compositing — the hot path.
+
+Hand-written equivalents of the reference CUDA rasterize kernels
+(``forward.cu:278-395``, ``backward.cu:133-303``), designed for the TPU
+memory/compute model rather than translated:
+
+  * The sorted intersection list is **tile-range padded** (see
+    ``binning.pad_tile_ranges``) so each 16x16 tile owns whole 128-entry
+    blocks: chunk DMAs are aligned and backward gradient writes are disjoint
+    — TPU has no atomics, so exclusivity replaces CUDA's atomicAdd.
+  * Per chunk, alphas form a (256 pixels, 128 entries) block: sublanes =
+    pixels, lanes = depth-sorted entries. Front-to-back compositing is an
+    exclusive cumprod along lanes (log-space cumsum) and the color
+    accumulation is a (ch,128)x(256,128)^T contraction on the MXU.
+  * The CUDA early-``break`` is replicated exactly by the monotone-
+    transmittance mask (see ops/rasterize.py); whole-tile early exit happens
+    at chunk granularity via the while-loop condition.
+
+Attribute layout (attr-major, (16, Cp)):
+  row 0 x | 1 y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity |
+  rows 6..6+ch-1 colors | rest padding.
+
+Outputs per tile are packed (T, 8, 256): rows 0..ch-1 accumulated foreground
+color, row ``ch`` final transmittance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ALPHA_CLAMP = 0.999
+_ALPHA_CUTOFF = 1.0 / 255.0
+_T_CUTOFF = 1e-4
+CHUNK = 128  # entries per compositing chunk (= lane width)
+ATTR_ROWS = 16
+OUT_ROWS = 8
+
+
+def _pixel_coords(tile_idx, tiles_x: int, block_width: int):
+    """Pixel centers of a tile: (P, 1) float32 x and y, P = block_width^2."""
+    p = block_width * block_width
+    tx = tile_idx % tiles_x
+    ty = tile_idx // tiles_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (tx * block_width + pix % block_width).astype(jnp.float32)
+    py = (ty * block_width + pix // block_width).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(chunk, px, py, off, end):
+    """Alpha/validity for one (ATTR_ROWS, CHUNK) chunk against (P,1) pixels.
+
+    Returns (a_eff (P,K), logm (P,K) = log1p(-a_eff), extras for bwd)."""
+    x = chunk[0:1, :]
+    y = chunk[1:2, :]
+    ca = chunk[2:3, :]
+    cb = chunk[3:4, :]
+    cc = chunk[4:5, :]
+    op = chunk[5:6, :]
+    dx = x - px  # (P, K)
+    dy = y - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    exp_neg = jnp.exp(-sigma)
+    raw = op * exp_neg
+    alpha = jnp.minimum(raw, _ALPHA_CLAMP)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    in_range = (off + lane) < end
+    valid = (sigma >= 0.0) & (alpha >= _ALPHA_CUTOFF) & in_range
+    a_eff = jnp.where(valid, alpha, 0.0)
+    logm = jnp.log1p(-a_eff)
+    return a_eff, logm, valid, (dx, dy, ca, cb, cc, exp_neg, raw)
+
+
+def _keep(t_run, dead, a_eff, logm, valid):
+    """Break-semantics masking with a persistent per-pixel break flag.
+
+    Returns (a_k, t_prev, log prod(1-a_k), dead_next). The CUDA loop breaks
+    permanently the first time a composited entry would push T <= 1e-4
+    (forward.cu:352-356); ``dead`` carries that state across chunks."""
+    cs = jnp.cumsum(logm, axis=1)
+    t_prev = t_run * jnp.exp(cs - logm)
+    break_here = valid & (t_run * jnp.exp(cs) <= _T_CUTOFF)
+    dead_incl = dead | (jnp.cumsum(break_here.astype(jnp.float32), axis=1) > 0)
+    keep = valid & (~dead_incl)
+    a_k = jnp.where(keep, a_eff, 0.0)
+    log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
+    dead_next = dead | jnp.any(break_here, axis=1, keepdims=True)
+    return a_k, t_prev, log_dec, dead_next
+
+
+def _fwd_kernel(
+    bins_ref, attr_ref, out_ref, chunk_vmem, sem,
+    *, tiles_x: int, block_width: int, ch: int,
+):
+    t = pl.program_id(0)
+    start = bins_ref[2 * t]
+    end = bins_ref[2 * t + 1]
+    px, py = _pixel_coords(t, tiles_x, block_width)
+    p = block_width * block_width
+
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    n_chunks = (end - start + CHUNK - 1) // CHUNK
+
+    def cond(c):
+        i, _, dead = c
+        return jnp.logical_and(i < n_chunks, jnp.any(~dead))
+
+    def body(c):
+        i, t_run, dead = c
+        off = start + i * CHUNK
+        dma = pltpu.make_async_copy(
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
+        )
+        dma.start()
+        dma.wait()
+        chunk = chunk_vmem[...]
+        a_eff, logm, valid, _ = _chunk_alpha(chunk, px, py, off, end)
+        a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
+        w = t_prev * a_k  # (P, K)
+        colors = chunk[6 : 6 + ch, :]  # (ch, K)
+        contrib = jax.lax.dot_general(
+            colors, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ch, P)
+        out_ref[0, 0:ch, :] += contrib
+        return i + 1, t_run * jnp.exp(log_dec), dead
+
+    t0 = jnp.ones((p, 1), jnp.float32)
+    dead0 = jnp.zeros((p, 1), bool)
+    _, t_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, dead0))
+    out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
+)
+def composite_tiles_fwd(
+    s_attr: jax.Array,  # (ATTR_ROWS, Cp) padded sorted attributes
+    tile_bins: jax.Array,  # (T, 2) int32, CHUNK-aligned starts
+    tile_bounds: Tuple[int, int],
+    block_width: int = 16,
+    ch: int = 4,
+    interpret: bool = False,
+):
+    """Returns (T, OUT_ROWS, P) packed [colors rows, final_t row]."""
+    num_tiles = tile_bounds[0] * tile_bounds[1]
+    p = block_width * block_width
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_bins.reshape(-1), s_attr)
+    return out
+
+
+def _bwd_kernel(
+    bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref,
+    chunk_vmem, gtile_vmem, sem, wsem,
+    *, tiles_x: int, block_width: int, ch: int,
+):
+    """Backward sweep for one tile: recompute chunks front-to-back, write
+    per-intersection gradients to the tile's exclusive blocks of ``gout_ref``.
+
+    fwd_ref/ct_ref blocks are (1, OUT_ROWS, P): forward outputs
+    [acc_fg rows, final_t row] and cotangents [g_img rows, g_final_t row].
+    """
+    t = pl.program_id(0)
+    start = bins_ref[2 * t]
+    end = bins_ref[2 * t + 1]
+    px, py = _pixel_coords(t, tiles_x, block_width)
+    p = block_width * block_width
+
+    g_img = ct_ref[0, 0:ch, :]  # (ch, P)
+    g_final_t_row = ct_ref[0, ch : ch + 1, :]  # (1, P)
+    acc_fg = fwd_ref[0, 0:ch, :]
+    final_t_row = fwd_ref[0, ch : ch + 1, :]
+    # per-pixel scalars in (P, 1) layout
+    g_dot_acc = jnp.sum(g_img * acc_fg, axis=0, keepdims=True).reshape(p, 1)
+    gt_tf = (g_final_t_row * final_t_row).reshape(p, 1)
+
+    n_chunks = (end - start + CHUNK - 1) // CHUNK
+    inv_floor = 1.0 - _ALPHA_CLAMP
+
+    def cond(c):
+        i, _, dead, _ = c
+        return jnp.logical_and(i < n_chunks, jnp.any(~dead))
+
+    def body(c):
+        i, t_run, dead, g_prefix = c
+        off = start + i * CHUNK
+        dma = pltpu.make_async_copy(
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
+        )
+        dma.start()
+        dma.wait()
+        chunk = chunk_vmem[...]
+        a_eff, logm, valid, extras = _chunk_alpha(chunk, px, py, off, end)
+        dx, dy, ca, cb, cc, exp_neg, raw, = extras
+        a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
+        kept = a_k > 0.0
+        w = t_prev * a_k  # (P, K)
+        colors = chunk[6 : 6 + ch, :]  # (ch, K)
+
+        g_dot_col = jax.lax.dot_general(
+            g_img, colors, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, K)
+        g_prefix_incl = g_prefix + jnp.cumsum(w * g_dot_col, axis=1)
+        inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
+        v_alpha = (
+            t_prev * g_dot_col
+            - (g_dot_acc - g_prefix_incl) * inv_one_m
+            - gt_tf * inv_one_m
+        )
+        v_alpha = jnp.where(kept, v_alpha, 0.0)
+        gate = kept & (raw <= _ALPHA_CLAMP)
+        v_opac = jnp.where(gate, exp_neg * v_alpha, 0.0)
+        v_sigma = jnp.where(gate, -a_eff * v_alpha, 0.0)
+
+        # reductions over pixels (sublane axis 0)
+        g_colors = jax.lax.dot_general(
+            g_img, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ch, K)
+        g_x = jnp.sum((ca * dx + cb * dy) * v_sigma, axis=0, keepdims=True)
+        g_y = jnp.sum((cc * dy + cb * dx) * v_sigma, axis=0, keepdims=True)
+        g_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=0, keepdims=True)
+        g_cb = jnp.sum(dx * dy * v_sigma, axis=0, keepdims=True)
+        g_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=0, keepdims=True)
+        g_op = jnp.sum(v_opac, axis=0, keepdims=True)
+
+        gtile_vmem[0:1, :] = g_x
+        gtile_vmem[1:2, :] = g_y
+        gtile_vmem[2:3, :] = g_ca
+        gtile_vmem[3:4, :] = g_cb
+        gtile_vmem[4:5, :] = g_cc
+        gtile_vmem[5:6, :] = g_op
+        gtile_vmem[6 : 6 + ch, :] = g_colors
+        gtile_vmem[6 + ch :, :] = jnp.zeros(
+            (ATTR_ROWS - 6 - ch, CHUNK), jnp.float32
+        )
+        wdma = pltpu.make_async_copy(
+            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
+        )
+        wdma.start()
+        wdma.wait()
+
+        g_prefix = g_prefix + jnp.sum(w * g_dot_col, axis=1, keepdims=True)
+        return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
+
+    t0 = jnp.ones((p, 1), jnp.float32)
+    dead0 = jnp.zeros((p, 1), bool)
+    gp0 = jnp.zeros((p, 1), jnp.float32)
+    i_done, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, dead0, gp0)
+    )
+
+    # zero-fill the tile's remaining (early-exited) blocks so the
+    # segment-sum never reads garbage
+    def zcond(i):
+        return i < n_chunks
+
+    def zbody(i):
+        gtile_vmem[...] = jnp.zeros(gtile_vmem.shape, jnp.float32)
+        off = start + i * CHUNK
+        wdma = pltpu.make_async_copy(
+            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
+        )
+        wdma.start()
+        wdma.wait()
+        return i + 1
+
+    jax.lax.while_loop(zcond, zbody, i_done)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
+)
+def composite_tiles_bwd(
+    s_attr: jax.Array,  # (ATTR_ROWS, Cp)
+    tile_bins: jax.Array,  # (T, 2)
+    fwd_packed: jax.Array,  # (T, OUT_ROWS, P)
+    ct_packed: jax.Array,  # (T, OUT_ROWS, P)
+    tile_bounds: Tuple[int, int],
+    block_width: int = 16,
+    ch: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-intersection gradients (ATTR_ROWS, Cp), same row layout as s_attr."""
+    num_tiles = tile_bounds[0] * tile_bounds[1]
+    p = block_width * block_width
+    cp = s_attr.shape[1]
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ATTR_ROWS, cp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_bins.reshape(-1), s_attr, fwd_packed, ct_packed)

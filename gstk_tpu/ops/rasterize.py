@@ -52,6 +52,16 @@ class RasterizeConfig:
     block_width: int = 16  # tile side in pixels (matches reference config.h)
     chunk_size: int = 32  # Gaussians composited per loop step per tile
     isect_capacity: int = 1 << 19  # static intersection buffer length
+    # backend: "auto" = Pallas kernels on TPU, pure-JAX loops elsewhere;
+    # "jax" / "pallas" force; "pallas_interpret" runs the kernels in the
+    # Pallas interpreter (CPU testing).
+    backend: str = "auto"
+
+
+def _resolve_backend(config: RasterizeConfig) -> str:
+    if config.backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jax"
+    return config.backend
 
 
 def _tile_pixel_coords(tile_bounds, block_width):
@@ -88,21 +98,27 @@ def _chunk_geometry(s_xy, s_conic, s_opac, idx, px, py):
     return alpha, valid, clamped, exp_neg, dx, dy, ca, cb, cc
 
 
-def _keep_weights(t_run, alpha, valid):
-    """Apply CUDA break semantics; returns (a_k, t_prev, t_next).
+def _keep_weights(t_run, dead, alpha, valid):
+    """Apply CUDA break semantics; returns (a_k, t_prev, t_next, dead_next).
 
-    a_k: effective alphas after all masks; t_prev: transmittance before each
-    entry; t_next: per-tile-pixel transmittance after the chunk."""
+    The CUDA loop *stops* the first time a composited entry would push
+    transmittance to <= 1e-4 (forward.cu:352-356), without applying it, and
+    never resumes — so the break must persist across chunks. ``dead`` is the
+    carried per-pixel break flag; within a chunk, entries at or after the
+    first break are masked via an inclusive cumulative-or."""
     a_eff = jnp.where(valid, alpha, 0.0)
     one_m = 1.0 - a_eff
     cp = jnp.cumprod(one_m, axis=-1)
     t_prev = t_run[..., None] * jnp.concatenate(
         [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1
     )
-    keep = t_prev * one_m > _T_CUTOFF
+    break_here = valid & (t_prev * one_m <= _T_CUTOFF)
+    dead_incl = dead[..., None] | (jnp.cumsum(break_here, axis=-1) > 0)
+    keep = valid & ~dead_incl
     a_k = jnp.where(keep, a_eff, 0.0)
     t_next = t_run * jnp.prod(1.0 - a_k, axis=-1)
-    return a_k, t_prev, t_next
+    dead_next = dead | jnp.any(break_here, axis=-1)
+    return a_k, t_prev, t_next, dead_next
 
 
 def _composite_fwd_loop(
@@ -119,30 +135,33 @@ def _composite_fwd_loop(
     karange = jnp.arange(chunk, dtype=jnp.int32)
 
     def cond(state):
-        i, t_run, _ = state
+        i, _, dead, _ = state
         has_entries = start + i * chunk < end
-        alive = jnp.max(t_run, axis=-1) > _T_CUTOFF
+        alive = jnp.any(~dead, axis=-1)
         return jnp.any(has_entries & alive)
 
     def body(state):
-        i, t_run, acc = state
+        i, t_run, dead, acc = state
         idx = jnp.clip(start[:, None] + i * chunk + karange[None, :], 0, cap - 1)
         in_range = (start[:, None] + i * chunk + karange[None, :]) < end[:, None]
         alpha, valid, _, _, _, _, _, _, _ = _chunk_geometry(
             s_xy, s_conic, s_opac, idx, px, py
         )
         valid = valid & in_range[:, None, :]
-        a_k, t_prev, t_next = _keep_weights(t_run, alpha, valid)
+        a_k, t_prev, t_next, dead = _keep_weights(t_run, dead, alpha, valid)
         w = t_prev * a_k  # (T, P, K)
         col = s_color[idx]  # (T, K, ch)
         acc = acc + jnp.einsum(
             "tpk,tkc->tpc", w, col, preferred_element_type=jnp.float32
         )
-        return i + 1, t_next, acc
+        return i + 1, t_next, dead, acc
 
     t0 = jnp.ones((num_tiles, P), jnp.float32)
+    dead0 = jnp.zeros((num_tiles, P), bool)
     acc0 = jnp.zeros((num_tiles, P, ch), jnp.float32)
-    n, final_t, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, acc0))
+    n, final_t, _, acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, dead0, acc0)
+    )
     return acc, final_t, n
 
 
@@ -176,13 +195,13 @@ def _composite_bwd_loop(
     g_dot_acc = jnp.einsum("tpc,tpc->tp", g_img, acc_fg)
 
     def cond(state):
-        i, t_run = state[0], state[1]
+        i, dead = state[0], state[2]
         has_entries = start + i * chunk < end
-        alive = jnp.max(t_run, axis=-1) > _T_CUTOFF
+        alive = jnp.any(~dead, axis=-1)
         return jnp.any(has_entries & alive)
 
     def body(state):
-        i, t_run, g_dot_prefix, g_xy, g_conic, g_color, g_opac = state
+        i, t_run, dead, g_dot_prefix, g_xy, g_conic, g_color, g_opac = state
         raw_idx = start[:, None] + i * chunk + karange[None, :]
         idx = jnp.clip(raw_idx, 0, cap - 1)
         in_range = raw_idx < end[:, None]
@@ -190,7 +209,7 @@ def _composite_bwd_loop(
             s_xy, s_conic, s_opac, idx, px, py
         )
         valid = valid & in_range[:, None, :]
-        a_k, t_prev, t_next = _keep_weights(t_run, alpha, valid)
+        a_k, t_prev, t_next, dead = _keep_weights(t_run, dead, alpha, valid)
         kept = a_k > 0.0
         w = t_prev * a_k  # (T, P, K)
         col = s_color[idx]  # (T, K, ch)
@@ -240,14 +259,16 @@ def _composite_bwd_loop(
         g_opac = add(g_opac, g_opac_k[..., None])
 
         g_dot_prefix = g_dot_prefix + jnp.sum(w * g_dot_col, axis=2)
-        return i + 1, t_next, g_dot_prefix, g_xy, g_conic, g_color, g_opac
+        return i + 1, t_next, dead, g_dot_prefix, g_xy, g_conic, g_color, g_opac
 
     t0 = jnp.ones((num_tiles, P), jnp.float32)
+    dead0 = jnp.zeros((num_tiles, P), bool)
     prefix0 = jnp.zeros((num_tiles, P), jnp.float32)
     zeros = lambda shape: jnp.zeros(shape, jnp.float32)
     state0 = (
         jnp.int32(0),
         t0,
+        dead0,
         prefix0,
         zeros((n_gauss, 2)),
         zeros((n_gauss, 3)),
@@ -255,8 +276,83 @@ def _composite_bwd_loop(
         zeros((n_gauss, 1)),
     )
     out = jax.lax.while_loop(cond, body, state0)
-    _, _, _, g_xy, g_conic, g_color, g_opac = out
+    g_xy, g_conic, g_color, g_opac = out[4], out[5], out[6], out[7]
     return g_xy, g_conic, g_color, g_opac[..., 0]
+
+
+def _make_composite_pallas(
+    tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool
+):
+    """Pallas-kernel-backed compositing with the same custom-VJP contract as
+    the pure-JAX path. Expects tile-range-padded (CHUNK-aligned) ids/bins."""
+    from gstk_tpu.ops import raster_pallas as rp
+
+    assert block_width == 16, "Pallas rasterizer assumes 16x16 tiles"
+    assert ch <= rp.OUT_ROWS - 1
+
+    def pack_attrs(xys, conics, colors, opacities, gid, cp):
+        attr = jnp.zeros((rp.ATTR_ROWS, cp), jnp.float32)
+        attr = attr.at[0:2].set(xys[gid].T)
+        attr = attr.at[2:5].set(conics[gid].T)
+        attr = attr.at[5].set(opacities[gid])
+        attr = attr.at[6 : 6 + ch].set(colors[gid].T)
+        return attr
+
+    @jax.custom_vjp
+    def composite(xys, conics, colors, opacities, sorted_gids, tile_bins):
+        n = xys.shape[0]
+        gid = jnp.minimum(sorted_gids, n - 1)
+        attr = pack_attrs(xys, conics, colors, opacities, gid, gid.shape[0])
+        packed = rp.composite_tiles_fwd(
+            attr, tile_bins, tile_bounds, block_width, ch=ch,
+            interpret=interpret,
+        )
+        acc = packed[:, 0:ch, :].transpose(0, 2, 1)
+        final_t = packed[:, ch, :]
+        return acc, final_t
+
+    def fwd(xys, conics, colors, opacities, sorted_gids, tile_bins):
+        n = xys.shape[0]
+        gid = jnp.minimum(sorted_gids, n - 1)
+        attr = pack_attrs(xys, conics, colors, opacities, gid, gid.shape[0])
+        packed = rp.composite_tiles_fwd(
+            attr, tile_bins, tile_bounds, block_width, ch=ch,
+            interpret=interpret,
+        )
+        acc = packed[:, 0:ch, :].transpose(0, 2, 1)
+        final_t = packed[:, ch, :]
+        return (acc, final_t), (attr, sorted_gids, tile_bins, packed, n)
+
+    def bwd(res, cts):
+        attr, sorted_gids, tile_bins, packed, n = res
+        g_acc, g_final_t = cts
+        p = block_width * block_width
+        num_tiles = tile_bounds[0] * tile_bounds[1]
+        ct_packed = jnp.zeros((num_tiles, rp.OUT_ROWS, p), jnp.float32)
+        ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
+        ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
+        g_attr = rp.composite_tiles_bwd(
+            attr, tile_bins, packed, ct_packed, tile_bounds, block_width,
+            ch=ch, interpret=interpret,
+        )
+        real = sorted_gids < n
+        g_rows = jnp.where(real[None, :], g_attr, 0.0)
+        seg = jnp.minimum(sorted_gids, n - 1)
+        per_gauss = jax.ops.segment_sum(
+            g_rows.T, seg, num_segments=n
+        )  # (n, ATTR_ROWS)
+        int_zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return (
+            per_gauss[:, 0:2],
+            per_gauss[:, 2:5],
+            per_gauss[:, 6 : 6 + ch],
+            per_gauss[:, 5],
+            int_zero(sorted_gids),
+            int_zero(tile_bins),
+        )
+
+    composite.defvjp(fwd, bwd)
+    return composite
 
 
 def _make_composite(tile_bounds: Tuple[int, int], block_width: int, chunk: int):
@@ -357,6 +453,7 @@ def rasterize(
         (img_width + bw - 1) // bw,
         (img_height + bw - 1) // bw,
     )
+    num_tiles = tile_bounds[0] * tile_bounds[1]
     isect = bin_gaussians(
         jax.lax.stop_gradient(xys),
         jax.lax.stop_gradient(depths),
@@ -366,12 +463,28 @@ def rasterize(
         bw,
         config.isect_capacity,
     )
-    composite = _make_composite(tile_bounds, bw, config.chunk_size)
-    # Sentinel-safe id array for the forward gathers.
-    gid = jnp.minimum(isect.gaussian_ids, xys.shape[0] - 1)
-    acc, final_t = composite(
-        xys, conics, colors, opacities, gid, isect.tile_bins
-    )
+    backend = _resolve_backend(config)
+    if backend in ("pallas", "pallas_interpret"):
+        from gstk_tpu.ops.binning import pad_tile_ranges
+        from gstk_tpu.ops.raster_pallas import CHUNK
+
+        n = xys.shape[0]
+        padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
+        composite = _make_composite_pallas(
+            tile_bounds, bw, colors.shape[-1],
+            interpret=(backend == "pallas_interpret"),
+        )
+        acc, final_t = composite(
+            xys, conics, colors, opacities, padded.gaussian_ids,
+            padded.tile_bins,
+        )
+    else:
+        composite = _make_composite(tile_bounds, bw, config.chunk_size)
+        # Sentinel-safe id array for the forward gathers.
+        gid = jnp.minimum(isect.gaussian_ids, xys.shape[0] - 1)
+        acc, final_t = composite(
+            xys, conics, colors, opacities, gid, isect.tile_bins
+        )
     img = _tiles_to_image(acc, tile_bounds, bw, img_height, img_width)
     final_t_img = _tiles_to_image(
         final_t[..., None], tile_bounds, bw, img_height, img_width

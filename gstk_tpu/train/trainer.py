@@ -73,6 +73,8 @@ class TrainerConfig:
     isect_capacity: int = 1 << 20
     load_dir: Optional[Path] = None
     enable_tensorboard: bool = False
+    vis: str = "none"  # none | viewer
+    viewer_port: int = 7007
 
     @property
     def run_dir(self) -> Path:
@@ -133,6 +135,13 @@ class Trainer:
                 max(self.datamanager.image_size),
             )
         )
+        self.viewer = None
+        if cfg.vis == "viewer":
+            from gstk_tpu.viewer.viser_viewer import make_viewer
+
+            self.viewer = make_viewer(
+                cfg.model, self.raster_cfg, port=cfg.viewer_port
+            ).start()
 
     # -- step-function cache (per resolution bucket / sh degree) ----------
     def _step_fn(self, h: int, w: int, sh_degree: int, scale_reg: bool):
@@ -275,6 +284,8 @@ class Trainer:
                 self.writer.put_scalar(EventName.ITER_TRAIN_TIME, dt, step)
                 self.writer.write_out_storage()
                 self._maybe_grow(metrics_host)
+                if self.viewer is not None:
+                    self.viewer.update_scene(self.state.scene, metrics_host)
 
             if (step + 1) % cfg.steps_per_save == 0:
                 with timer("save_checkpoint"):

@@ -1,0 +1,84 @@
+"""viser-based live viewer (used when the ``viser`` package is available).
+
+Mirrors the reference ``Viewer`` (``gs_toolkit/viewer/viewer.py:42-572``):
+a viser server showing the training scene as a Gaussian-splat cloud with
+camera-driven re-rendering. In images without viser (like this TPU image),
+:mod:`gstk_tpu.viewer.http_viewer` provides the dependency-free fallback;
+``make_viewer`` picks automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def viser_available() -> bool:
+    try:
+        import viser  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class ViserViewer:
+    def __init__(self, model_config, raster_config, port: int = 7007):
+        import viser
+
+        self.server = viser.ViserServer(port=port)
+        self.model_config = model_config
+        self.raster_config = raster_config
+        self._handle = None
+
+    def start(self):
+        return self
+
+    def update_scene(self, scene, stats: Optional[dict] = None):
+        from gstk_tpu.utils.math import sh_to_rgb
+
+        alive = np.asarray(scene.alive)
+        centers = np.asarray(scene.means)[alive]
+        rgbs = np.clip(np.asarray(sh_to_rgb(scene.features_dc))[alive], 0, 1)
+        opac = 1.0 / (1.0 + np.exp(-np.asarray(scene.opacities)[alive, 0]))
+        scales = np.exp(np.asarray(scene.scales)[alive])
+        quats = np.asarray(scene.quats)[alive]
+        quats = quats / np.linalg.norm(quats, axis=-1, keepdims=True)
+        covs = _quat_scale_to_cov(quats, scales)
+        if hasattr(self.server.scene, "add_gaussian_splats"):
+            self._handle = self.server.scene.add_gaussian_splats(
+                "/gaussians",
+                centers=centers,
+                rgbs=rgbs,
+                opacities=opac[:, None],
+                covariances=covs,
+            )
+        else:  # older viser: point cloud fallback
+            self._handle = self.server.scene.add_point_cloud(
+                "/gaussians", points=centers,
+                colors=(rgbs * 255).astype(np.uint8), point_size=0.01,
+            )
+
+
+def _quat_scale_to_cov(quats: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    w, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    R = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    M = R * scales[:, None, :]
+    return M @ M.transpose(0, 2, 1)
+
+
+def make_viewer(model_config, raster_config, port: int = 7007):
+    """viser when available, stdlib HTTP viewer otherwise."""
+    if viser_available():
+        return ViserViewer(model_config, raster_config, port=port)
+    from gstk_tpu.viewer.http_viewer import TrainingViewer
+
+    return TrainingViewer(model_config, raster_config, port=port)

@@ -1,0 +1,99 @@
+"""Pallas tile-compositing kernels vs the numpy oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gstk_tpu.ops.binning import bin_gaussians, pad_tile_ranges
+from gstk_tpu.ops.oracle import rasterize_np
+from gstk_tpu.ops.projection import project_gaussians
+from gstk_tpu.ops.raster_pallas import (
+    ATTR_ROWS,
+    CHUNK,
+    OUT_ROWS,
+    composite_tiles_fwd,
+)
+
+from tests._scenes import make_camera, make_gaussians
+
+
+def _prep(rng, n=300, img_w=64, img_h=48, opaque=False):
+    cam = make_camera(img_w=img_w, img_h=img_h)
+    means, scales, quats, colors, opacities = make_gaussians(rng, n)
+    if opaque:
+        opacities = np.full(n, 0.999, np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
+        jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["img_h"], cam["img_w"],
+    )
+    tiles = ((img_w + 15) // 16, (img_h + 15) // 16)
+    isect = bin_gaussians(
+        proj.xys, proj.depths, proj.radii, proj.num_tiles_hit,
+        tiles, 16, 1 << 13,
+    )
+    num_tiles = tiles[0] * tiles[1]
+    padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
+    gid = jnp.minimum(padded.gaussian_ids, n - 1)
+    attr = jnp.zeros((ATTR_ROWS, padded.gaussian_ids.shape[0]), jnp.float32)
+    attr = attr.at[0:2].set(proj.xys[gid].T)
+    attr = attr.at[2:5].set(proj.conics[gid].T)
+    attr = attr.at[5].set(jnp.asarray(opacities)[gid])
+    attr = attr.at[6:9].set(jnp.asarray(colors)[gid].T)
+    return cam, proj, colors, opacities, tiles, isect, padded, attr
+
+
+def _untile(packed, tiles, img_h, img_w, ch):
+    tiles_x, tiles_y = tiles
+    img = np.asarray(packed)[:, 0:ch, :].transpose(0, 2, 1)
+    img = img.reshape(tiles_y, tiles_x, 16, 16, ch)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * 16, tiles_x * 16, ch)
+    t = np.asarray(packed)[:, ch, :]
+    t = t.reshape(tiles_y, tiles_x, 16, 16).transpose(0, 2, 1, 3)
+    t = t.reshape(tiles_y * 16, tiles_x * 16)
+    return img[:img_h, :img_w], t[:img_h, :img_w]
+
+
+@pytest.mark.parametrize("opaque", [False, True])
+def test_pallas_fwd_matches_oracle(rng, opaque):
+    cam, proj, colors, opacities, tiles, isect, padded, attr = _prep(
+        rng, opaque=opaque
+    )
+    packed = composite_tiles_fwd(
+        attr, padded.tile_bins, tiles, 16, ch=3, interpret=True
+    )
+    img, final_t = _untile(packed, tiles, cam["img_h"], cam["img_w"], 3)
+
+    from gstk_tpu.ops.oracle import bin_gaussians_np
+
+    gids, _, bins = bin_gaussians_np(
+        np.asarray(proj.xys), np.asarray(proj.depths), np.asarray(proj.radii),
+        tiles, 16,
+    )
+    ref_img, ref_t = rasterize_np(
+        cam["img_h"], cam["img_w"], gids, bins,
+        np.asarray(proj.xys), np.asarray(proj.conics), colors, opacities,
+        np.zeros(3, np.float32),
+    )
+    np.testing.assert_allclose(final_t, ref_t, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(img, ref_img, rtol=1e-3, atol=1e-4)
+
+
+def test_pad_tile_ranges_invariants(rng):
+    _, proj, _, _, tiles, isect, padded, _ = _prep(rng)
+    bins = np.asarray(padded.tile_bins)
+    assert np.all(bins[:, 0] % CHUNK == 0)
+    counts_orig = np.asarray(isect.tile_bins[:, 1] - isect.tile_bins[:, 0])
+    counts_new = bins[:, 1] - bins[:, 0]
+    np.testing.assert_array_equal(counts_new, counts_orig)
+    # entries preserved in order per tile
+    n = proj.xys.shape[0]
+    old_gids = np.asarray(isect.gaussian_ids)
+    new_gids = np.asarray(padded.gaussian_ids)
+    old_bins = np.asarray(isect.tile_bins)
+    for t in range(len(bins)):
+        np.testing.assert_array_equal(
+            new_gids[bins[t, 0] : bins[t, 1]],
+            old_gids[old_bins[t, 0] : old_bins[t, 1]],
+        )

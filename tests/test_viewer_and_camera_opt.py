@@ -1,0 +1,109 @@
+"""Camera optimizer math + HTTP viewer smoke tests."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstk_tpu.core.camera_opt import (
+    apply_to_camera,
+    exp_map_se3,
+    exp_map_so3xr3,
+    init_camera_opt,
+)
+from gstk_tpu.core.cameras import Camera
+from gstk_tpu.viewer.http_viewer import ViewerServer, orbit_pose
+
+
+def test_exp_map_identity():
+    out = exp_map_so3xr3(jnp.zeros(6))
+    np.testing.assert_allclose(np.asarray(out), np.eye(4)[:3], atol=1e-7)
+    out = exp_map_se3(jnp.zeros(6))
+    np.testing.assert_allclose(np.asarray(out), np.eye(4)[:3], atol=1e-7)
+
+
+def test_exp_map_rotation():
+    # rotate pi/2 around z
+    t = jnp.asarray([0, 0, 0, 0, 0, np.pi / 2], jnp.float32)
+    R = np.asarray(exp_map_so3xr3(t))[:3, :3]
+    np.testing.assert_allclose(
+        R, [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+    )
+
+
+def test_se3_translation_couples_rotation():
+    rho = jnp.asarray([1.0, 0, 0, 0, 0, np.pi / 2], jnp.float32)
+    t = np.asarray(exp_map_se3(rho))[:3, 3]
+    # V @ rho for 90deg z-rotation: t = (2/pi)*[1, 1-... ] — just check it's
+    # not the raw rho and has the right magnitude ballpark
+    assert not np.allclose(t, [1, 0, 0])
+    assert 0.5 < np.linalg.norm(t) < 1.5
+
+
+def test_apply_to_camera_identity():
+    cam = Camera(
+        fx=jnp.float32(50), fy=jnp.float32(50),
+        cx=jnp.float32(32), cy=jnp.float32(24),
+        c2w=jnp.asarray(np.eye(4)[:3].astype(np.float32)),
+    )
+    adj = init_camera_opt(5)
+    out = apply_to_camera(cam, adj[0])
+    np.testing.assert_allclose(np.asarray(out.c2w), np.asarray(cam.c2w), atol=1e-7)
+    assert apply_to_camera(cam, adj[0], mode="off") is cam
+
+
+def test_apply_to_camera_gradients():
+    cam = Camera(
+        fx=jnp.float32(50), fy=jnp.float32(50),
+        cx=jnp.float32(32), cy=jnp.float32(24),
+        c2w=jnp.asarray(np.eye(4)[:3].astype(np.float32)),
+    )
+
+    def loss(adj):
+        c = apply_to_camera(cam, adj)
+        return jnp.sum(c.c2w**2)
+
+    g = jax.grad(loss)(jnp.full((6,), 0.01))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_orbit_pose_looks_at_center():
+    c2w = orbit_pose(0.7, 0.3, 2.0, (1.0, 0.5, -0.5))
+    eye = c2w[:3, 3]
+    forward = -c2w[:3, 2]
+    to_center = np.array([1.0, 0.5, -0.5]) - eye
+    to_center /= np.linalg.norm(to_center)
+    np.testing.assert_allclose(forward, to_center, atol=1e-6)
+    # orthonormal
+    np.testing.assert_allclose(
+        c2w[:3, :3].T @ c2w[:3, :3], np.eye(3), atol=1e-6
+    )
+
+
+def test_http_viewer_serves(rng):
+    frames = []
+
+    def render(c2w, h, w):
+        frames.append(c2w)
+        return (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+
+    server = ViewerServer(render, host="127.0.0.1", port=0).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        html = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"gstk_tpu viewer" in html
+        server.update_stats({"loss": 0.5})
+        stats = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=10).read()
+        )
+        assert stats == {"loss": 0.5}
+        jpg = urllib.request.urlopen(
+            base + "/render?az=0.3&el=0.1&r=2.5", timeout=10
+        ).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+        assert len(frames) == 1
+    finally:
+        server.stop()
