@@ -77,20 +77,36 @@ def _chunk_alpha(chunk, px, py, off, end):
     return a_eff, logm, valid, (dx, dy, ca, cb, cc, exp_neg, raw)
 
 
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the lane axis (axis=1) via a lower-triangular
+    ones matmul on the MXU — Pallas TPU has no cumsum lowering, and a
+    (P,K)x(K,K) contraction is effectively free next to the alpha math."""
+    k = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (row <= col).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _keep(t_run, dead, a_eff, logm, valid):
     """Break-semantics masking with a persistent per-pixel break flag.
 
     Returns (a_k, t_prev, log prod(1-a_k), dead_next). The CUDA loop breaks
     permanently the first time a composited entry would push T <= 1e-4
-    (forward.cu:352-356); ``dead`` carries that state across chunks."""
-    cs = jnp.cumsum(logm, axis=1)
+    (forward.cu:352-356); ``dead`` is a carried float (0/1) mask — float so
+    all reductions stay on the VPU (no boolean reduce lowering needed)."""
+    cs = _cumsum_lanes(logm)
     t_prev = t_run * jnp.exp(cs - logm)
-    break_here = valid & (t_run * jnp.exp(cs) <= _T_CUTOFF)
-    dead_incl = dead | (jnp.cumsum(break_here.astype(jnp.float32), axis=1) > 0)
-    keep = valid & (~dead_incl)
+    break_here = jnp.where(
+        valid & (t_run * jnp.exp(cs) <= _T_CUTOFF), 1.0, 0.0
+    )
+    dead_incl = jnp.maximum(dead, _cumsum_lanes(break_here))
+    keep = valid & (dead_incl < 0.5)
     a_k = jnp.where(keep, a_eff, 0.0)
     log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
-    dead_next = dead | jnp.any(break_here, axis=1, keepdims=True)
+    dead_next = jnp.maximum(dead, jnp.max(break_here, axis=1, keepdims=True))
     return a_k, t_prev, log_dec, dead_next
 
 
@@ -109,7 +125,7 @@ def _fwd_kernel(
 
     def cond(c):
         i, _, dead = c
-        return jnp.logical_and(i < n_chunks, jnp.any(~dead))
+        return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
 
     def body(c):
         i, t_run, dead = c
@@ -132,7 +148,7 @@ def _fwd_kernel(
         return i + 1, t_run * jnp.exp(log_dec), dead
 
     t0 = jnp.ones((p, 1), jnp.float32)
-    dead0 = jnp.zeros((p, 1), bool)
+    dead0 = jnp.zeros((p, 1), jnp.float32)
     _, t_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, dead0))
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
 
@@ -205,7 +221,7 @@ def _bwd_kernel(
 
     def cond(c):
         i, _, dead, _ = c
-        return jnp.logical_and(i < n_chunks, jnp.any(~dead))
+        return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
 
     def body(c):
         i, t_run, dead, g_prefix = c
@@ -227,7 +243,7 @@ def _bwd_kernel(
             g_img, colors, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (P, K)
-        g_prefix_incl = g_prefix + jnp.cumsum(w * g_dot_col, axis=1)
+        g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col)
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
         v_alpha = (
             t_prev * g_dot_col
@@ -271,7 +287,7 @@ def _bwd_kernel(
         return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
 
     t0 = jnp.ones((p, 1), jnp.float32)
-    dead0 = jnp.zeros((p, 1), bool)
+    dead0 = jnp.zeros((p, 1), jnp.float32)
     gp0 = jnp.zeros((p, 1), jnp.float32)
     i_done, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, dead0, gp0)
