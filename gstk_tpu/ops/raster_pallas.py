@@ -129,7 +129,7 @@ def _fwd_kernel(
 
     def body(c):
         i, t_run, dead = c
-        off = start + i * CHUNK
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         dma = pltpu.make_async_copy(
             attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
         )
@@ -225,7 +225,7 @@ def _bwd_kernel(
 
     def body(c):
         i, t_run, dead, g_prefix = c
-        off = start + i * CHUNK
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         dma = pltpu.make_async_copy(
             attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
         )
@@ -300,7 +300,7 @@ def _bwd_kernel(
 
     def zbody(i):
         gtile_vmem[...] = jnp.zeros(gtile_vmem.shape, jnp.float32)
-        off = start + i * CHUNK
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         wdma = pltpu.make_async_copy(
             gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
         )
