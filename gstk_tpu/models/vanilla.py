@@ -85,6 +85,7 @@ def render_scene(
     config: VanillaConfig = VanillaConfig(),
     raster_config: RasterizeConfig = RasterizeConfig(),
     xys_offset: Optional[jax.Array] = None,
+    crop_box=None,
 ) -> Dict[str, jax.Array]:
     """Render one camera view. Returns rgb/depth/alpha/background plus the
     densification signals (radii, visibility).
@@ -105,8 +106,12 @@ def render_scene(
         camera.fx, camera.fy, camera.cx, camera.cy,
         img_height, img_width, raster_config.block_width,
     )
-    # Dead lanes never enter binning/compositing.
+    # Dead lanes never enter binning/compositing; an optional crop box
+    # (core.scene_box.SceneBox/OrientedBox) filters eval renders the same way
+    # (reference vanilla_gs.py:703-718).
     alive = scene.alive
+    if crop_box is not None:
+        alive = alive & crop_box.within(means)
     radii = jnp.where(alive, proj.radii, 0)
     num_tiles_hit = jnp.where(alive, proj.num_tiles_hit, 0)
 

@@ -334,7 +334,7 @@ class Trainer:
             return {}
         psnrs, ssims = [], []
         t0 = time.perf_counter()
-        for frame in frames:
+        for i, frame in enumerate(frames):
             out = self._render_eval(frame)
             pred = np.asarray(out["rgb"])
             gt = frame.image
@@ -343,6 +343,11 @@ class Trainer:
             ssims.append(
                 float(loss_utils.ssim(jnp.asarray(gt), jnp.asarray(pred)))
             )
+            if i == 0:
+                # side-by-side GT | prediction (reference vanilla_gs.py:993)
+                self.writer.put_image(
+                    "eval/img", np.concatenate([gt, pred], axis=1), step
+                )
         dt = time.perf_counter() - t0
         h, w = frames[0].image.shape[:2]
         results = {
