@@ -47,7 +47,9 @@ def main():
     img_h = img_w = int(os.environ.get("BENCH_RES", 800))
     n = int(os.environ.get("BENCH_N", 100_000))
     capacity = int(os.environ.get("BENCH_CAP", 1 << 17))
-    isect_capacity = int(os.environ.get("BENCH_ISECT", 1 << 21))
+    # 1<<21 currently trips a TPU backend InvalidArgument via the axon
+    # tunnel; 1<<20 comfortably covers the 800x800/100k synthetic scene.
+    isect_capacity = int(os.environ.get("BENCH_ISECT", 1 << 20))
 
     rng = np.random.default_rng(0)
     # OpenGL c2w identity at origin: camera looks along world -z.
