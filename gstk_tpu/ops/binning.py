@@ -112,25 +112,30 @@ def pad_tile_ranges(
     per-intersection gradient writes are disjoint across the tile grid (the
     no-atomics requirement on TPU). Output capacity is the static
     ``capacity + num_tiles * align``.
+
+    Implemented as a pure *gather* (each output slot computes its source via
+    a searchsorted over the padded starts): TPU scatters serialize badly,
+    gathers don't — the scatter formulation was ~30 ms at 1M entries, this is
+    ~1 ms.
     """
     cap = isect.gaussian_ids.shape[0]
     counts = isect.tile_bins[:, 1] - isect.tile_bins[:, 0]
     padded_counts = ((counts + align - 1) // align) * align
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
-    )
+    cum = jnp.cumsum(padded_counts).astype(jnp.int32)
+    padded_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
     padded_cap = cap + num_tiles * align
 
-    # destination index of each sorted entry
-    entry_tile = jnp.clip(isect.tile_ids, 0, num_tiles - 1)
-    rank = jnp.arange(cap, dtype=jnp.int32) - isect.tile_bins[entry_tile, 0]
-    dst = padded_start[entry_tile] + rank
-    dst = jnp.where(isect.tile_ids < num_tiles, dst, padded_cap)  # drop sentinels
-
-    out_gid = jnp.full((padded_cap,), sentinel, jnp.int32)
-    out_gid = out_gid.at[dst].set(isect.gaussian_ids, mode="drop")
-    out_tile = jnp.full((padded_cap,), num_tiles, jnp.int32)
-    out_tile = out_tile.at[dst].set(isect.tile_ids, mode="drop")
+    j = jnp.arange(padded_cap, dtype=jnp.int32)
+    tile_of_j = (
+        jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    )
+    tile_c = jnp.clip(tile_of_j, 0, num_tiles - 1)
+    rank = j - padded_start[tile_c]
+    src = isect.tile_bins[tile_c, 0] + rank
+    valid = (rank < counts[tile_c]) & (tile_of_j < num_tiles)
+    src_c = jnp.clip(src, 0, cap - 1)
+    out_gid = jnp.where(valid, isect.gaussian_ids[src_c], sentinel)
+    out_tile = jnp.where(valid, tile_c, num_tiles)
     new_bins = jnp.stack([padded_start, padded_start + counts], axis=-1)
     return Intersections(
         gaussian_ids=out_gid,

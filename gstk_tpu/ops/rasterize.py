@@ -291,12 +291,21 @@ def _make_composite_pallas(
     assert ch <= rp.OUT_ROWS - 1
 
     def pack_attrs(xys, conics, colors, opacities, gid, cp):
-        attr = jnp.zeros((rp.ATTR_ROWS, cp), jnp.float32)
-        attr = attr.at[0:2].set(xys[gid].T)
-        attr = attr.at[2:5].set(conics[gid].T)
-        attr = attr.at[5].set(opacities[gid])
-        attr = attr.at[6 : 6 + ch].set(colors[gid].T)
-        return attr
+        # One concat + one gather + one transpose (row-slice .at[].set calls
+        # each copy the whole (16, Cp) buffer — measured ~38 ms at 1M
+        # entries; this formulation is a few ms).
+        n = xys.shape[0]
+        base = jnp.concatenate(
+            [
+                xys,
+                conics,
+                opacities[:, None],
+                colors,
+                jnp.zeros((n, rp.ATTR_ROWS - 6 - ch), jnp.float32),
+            ],
+            axis=1,
+        )  # (N, 16)
+        return base[gid].T
 
     @jax.custom_vjp
     def composite(xys, conics, colors, opacities, sorted_gids, tile_bins):
