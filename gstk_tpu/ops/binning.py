@@ -113,10 +113,11 @@ def pad_tile_ranges(
     no-atomics requirement on TPU). Output capacity is the static
     ``capacity + num_tiles * align``.
 
-    Implemented as a pure *gather* (each output slot computes its source via
-    a searchsorted over the padded starts): TPU scatters serialize badly,
-    gathers don't — the scatter formulation was ~30 ms at 1M entries, this is
-    ~1 ms.
+    Implemented gather-style: each output slot finds its tile by a
+    boundary-mark + cumsum (a T-element scatter and one 1D scan — both cheap)
+    and then gathers its source entry. Avoids both the big-scatter
+    formulation (~30 ms at 1M entries on TPU) and per-slot searchsorted
+    (~150 ms).
     """
     cap = isect.gaussian_ids.shape[0]
     counts = isect.tile_bins[:, 1] - isect.tile_bins[:, 0]
@@ -126,9 +127,11 @@ def pad_tile_ranges(
     padded_cap = cap + num_tiles * align
 
     j = jnp.arange(padded_cap, dtype=jnp.int32)
-    tile_of_j = (
-        jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    # tile_of_j = #boundaries <= j, via marks at each tile's end boundary
+    marks = jnp.zeros((padded_cap + 1,), jnp.int32).at[cum].add(
+        1, mode="drop"
     )
+    tile_of_j = jnp.cumsum(marks[:-1])[j]
     tile_c = jnp.clip(tile_of_j, 0, num_tiles - 1)
     rank = j - padded_start[tile_c]
     src = isect.tile_bins[tile_c, 0] + rank
