@@ -60,6 +60,42 @@ def exponential_decay(
     return schedule
 
 
+def multistep_decay(
+    lr_init: float, milestones: tuple, gamma: float = 0.33
+) -> Callable[[jax.Array], jax.Array]:
+    """Step decay at milestones (reference MultiStepScheduler,
+    engine/schedulers.py)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        n = jnp.zeros((), jnp.float32)
+        for m in milestones:
+            n = n + (step >= m).astype(jnp.float32)
+        return lr_init * gamma**n
+
+    return schedule
+
+
+def cosine_decay(
+    lr_init: float, max_steps: int, lr_final: float = 0.0,
+    warmup_steps: int = 0,
+) -> Callable[[jax.Array], jax.Array]:
+    """Cosine decay with linear warmup (reference CosineDecayScheduler)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr_init * jnp.clip(step / max(warmup_steps, 1), 0.0, 1.0)
+        t = jnp.clip(
+            (step - warmup_steps) / max(max_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        cos = lr_final + 0.5 * (lr_init - lr_final) * (
+            1.0 + jnp.cos(jnp.pi * t)
+        )
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig:
     """Per-group learning rates; groups missing here fall back to 1e-3."""
