@@ -113,6 +113,9 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-15
+    # optional global-norm gradient clip per group (reference
+    # engine/optimizers.py max_norm support); None disables
+    max_norm: Optional[float] = None
 
     def lr_for(self, group: str) -> float:
         return dict(self.lrs).get(group, 1e-3)
@@ -155,6 +158,9 @@ def adam_step(
                 update_mask.shape + (1,) * (g.ndim - update_mask.ndim)
             )
             g = jnp.where(lane, g, 0.0)
+        if config.max_norm is not None:
+            norm = jnp.linalg.norm(g)
+            g = g * jnp.minimum(1.0, config.max_norm / jnp.maximum(norm, 1e-12))
         mu = config.b1 * state.mu[name] + (1.0 - config.b1) * g
         nu = config.b2 * state.nu[name] + (1.0 - config.b2) * (g * g)
         lr = config.schedule_for(name)(step)
