@@ -123,19 +123,36 @@ def _fwd_kernel(
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     n_chunks = (end - start + CHUNK - 1) // CHUNK
 
+    # Double-buffered chunk streaming: start chunk i+1's DMA before
+    # compositing chunk i, so HBM latency hides behind the alpha math.
+    def start_dma(i, slot):
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_dma(0, 0)
+
     def cond(c):
         i, _, dead = c
         return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
 
     def body(c):
         i, t_run, dead = c
+        slot = jax.lax.rem(i, 2)
+        # prefetch the next chunk (clamped: re-reading the last chunk into
+        # the other slot when exiting is harmless and keeps the semaphore
+        # bookkeeping uniform)
+        nxt = jnp.minimum(i + 1, n_chunks - 1)
+        start_dma(nxt, 1 - slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
-        dma = pltpu.make_async_copy(
-            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
-        )
-        dma.start()
-        dma.wait()
-        chunk = chunk_vmem[...]
+        pltpu.make_async_copy(
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+            sem.at[slot],
+        ).wait()
+        chunk = chunk_vmem[slot]
         a_eff, logm, valid, _ = _chunk_alpha(chunk, px, py, off, end)
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
@@ -149,7 +166,19 @@ def _fwd_kernel(
 
     t0 = jnp.ones((p, 1), jnp.float32)
     dead0 = jnp.zeros((p, 1), jnp.float32)
-    _, t_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, dead0))
+    i_done, t_final, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, dead0)
+    )
+    # drain the outstanding prefetch so the kernel exits with clean semaphores
+    @pl.when(n_chunks > 0)
+    def _():
+        slot = jax.lax.rem(i_done, 2)
+        last = jnp.minimum(i_done, n_chunks - 1)
+        off = pl.multiple_of(start + last * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+            sem.at[slot],
+        ).wait()
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
 
 
@@ -178,8 +207,8 @@ def composite_tiles_fwd(
             (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

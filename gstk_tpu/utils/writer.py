@@ -140,4 +140,43 @@ class TensorBoardWriter:
         self.tb.flush()
 
 
+class WandbWriter:
+    """Weights & Biases backend (reference utils/writer.py:327); requires the
+    wandb package + credentials."""
+
+    def __init__(self, project: str, name: str, config: Optional[Dict] = None):
+        import wandb
+
+        self.run = wandb.init(project=project, name=name, config=config or {})
+        self._wandb = wandb
+
+    def write_scalar(self, name, value, step):
+        self.run.log({name: value}, step=step)
+
+    def write_image(self, name, image, step):
+        self.run.log({name: self._wandb.Image(np.asarray(image))}, step=step)
+
+    def flush(self):
+        pass
+
+
+class CometWriter:
+    """Comet ML backend (reference utils/writer.py:387); requires comet_ml."""
+
+    def __init__(self, project: str, name: str):
+        import comet_ml
+
+        self.exp = comet_ml.Experiment(project_name=project)
+        self.exp.set_name(name)
+
+    def write_scalar(self, name, value, step):
+        self.exp.log_metric(name, value, step=step)
+
+    def write_image(self, name, image, step):
+        self.exp.log_image(np.asarray(image), name=name, step=step)
+
+    def flush(self):
+        pass
+
+
 GLOBAL_WRITER = Writer()
