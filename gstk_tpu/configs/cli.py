@@ -92,15 +92,6 @@ def apply_overrides(instance, overrides: Dict[str, Any], prefix: str = ""):
     return instance
 
 
-def namespace_to_overrides(ns: argparse.Namespace) -> Dict[str, Any]:
-    out = {}
-    for k, v in vars(ns).items():
-        if v is not None and k not in ("command",):
-            out[k.replace("-", "_").replace("_", "_")] = v
-    # argparse stores --a.b-c as "a.b_c"; normalize dashes inside segments
-    return {k: v for k, v in out.items()}
-
-
 def parse_cli(description: str, configs: Dict[str, Any], argv=None):
     """Subcommand CLI: ``prog <method> [--flags]`` -> configured instance."""
     parser = argparse.ArgumentParser(description=description)
