@@ -280,68 +280,127 @@ def _composite_bwd_loop(
     return g_xy, g_conic, g_color, g_opac[..., 0]
 
 
+def _segment_constant(values, boundaries, length: int):
+    """Evaluate a piecewise-constant int function at every index in
+    [0, length): value[i] for indices in [boundaries[i-1], boundaries[i]).
+
+    Built from a T-element difference scatter + one hierarchical cumsum —
+    both ~free — instead of a per-index table gather (TPU gathers cost
+    ~8 ns/row: ~11 ms at 1.4M indices regardless of row width)."""
+    from gstk_tpu.ops.binning import _cumsum_1d
+
+    diffs = values[1:] - values[:-1]
+    buf = jnp.zeros((length + 1,), values.dtype).at[boundaries[:-1]].add(
+        diffs, mode="drop"
+    )
+    return values[0] + _cumsum_1d(buf[:-1])
+
+
 def _make_composite_pallas(
     tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool
 ):
     """Pallas-kernel-backed compositing with the same custom-VJP contract as
-    the pure-JAX path. Expects tile-range-padded (CHUNK-aligned) ids/bins."""
+    the pure-JAX path. Takes the *unpadded* sorted intersection list and does
+    alignment-padding + attribute packing in one fused gather (see
+    docs/PERFORMANCE.md: gathers are row-count bound, so gid/eidx ride along
+    as extra attribute rows instead of separate gathers)."""
     from gstk_tpu.ops import raster_pallas as rp
 
     assert block_width == 16, "Pallas rasterizer assumes 16x16 tiles"
     assert ch <= rp.OUT_ROWS - 1
+    GID_ROW, EIDX_ROW = rp.ATTR_ROWS - 2, rp.ATTR_ROWS - 1
+    assert 6 + ch <= GID_ROW
 
-    def pack_attrs(xys, conics, colors, opacities, gid, cp):
-        # One concat + one gather + one transpose (row-slice .at[].set calls
-        # each copy the whole (16, Cp) buffer — measured ~38 ms at 1M
-        # entries; this formulation is a few ms).
+    def pack_padded(
+        xys, conics, colors, opacities, sorted_gids, expansion_ids, tile_bins
+    ):
+        """Returns (attr (ATTR_ROWS, Cp), padded_bins (T, 2))."""
         n = xys.shape[0]
+        cap = sorted_gids.shape[0]
+        num_tiles = tile_bins.shape[0]
+        align = rp.CHUNK
+        padded_cap = cap + num_tiles * align
+
+        gid_c = jnp.minimum(sorted_gids, n - 1)
+        pad_cols = GID_ROW - 6 - ch
         base = jnp.concatenate(
             [
                 xys,
                 conics,
                 opacities[:, None],
                 colors,
-                jnp.zeros((n, rp.ATTR_ROWS - 6 - ch), jnp.float32),
+                jnp.zeros((n, pad_cols), jnp.float32),
             ],
             axis=1,
-        )  # (N, 16)
-        return base[gid].T
+        )  # (N, GID_ROW)
+        attr_sorted = jnp.concatenate(
+            [
+                base[gid_c],
+                sorted_gids.astype(jnp.float32)[:, None],
+                expansion_ids.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )  # (cap, ATTR_ROWS)
+
+        counts = tile_bins[:, 1] - tile_bins[:, 0]
+        padded_counts = ((counts + align - 1) // align) * align
+        cum = jnp.cumsum(padded_counts).astype(jnp.int32)
+        padded_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
+        delta = tile_bins[:, 0] - padded_start  # src = j + delta[tile_of_j]
+        j = jnp.arange(padded_cap, dtype=jnp.int32)
+        delta_j = _segment_constant(delta, cum, padded_cap)
+        end_j = _segment_constant(tile_bins[:, 1], cum, padded_cap)
+        src = j + delta_j
+        valid = (src < end_j) & (j < cum[-1])
+        src_c = jnp.clip(src, 0, cap - 1)
+        fill = jnp.zeros((rp.ATTR_ROWS,), jnp.float32).at[GID_ROW].set(
+            float(n)
+        )
+        attr_p = jnp.where(valid[:, None], attr_sorted[src_c], fill)
+        padded_bins = jnp.stack(
+            [padded_start, padded_start + counts], axis=-1
+        )
+        return attr_p.T, padded_bins
+
+    def _forward(xys, conics, colors, opacities, sorted_gids, expansion_ids,
+                 tile_bins):
+        attr, padded_bins = pack_padded(
+            xys, conics, colors, opacities, sorted_gids, expansion_ids,
+            tile_bins,
+        )
+        packed = rp.composite_tiles_fwd(
+            attr, padded_bins, tile_bounds, block_width, ch=ch,
+            interpret=interpret,
+        )
+        acc = packed[:, 0:ch, :].transpose(0, 2, 1)
+        final_t = packed[:, ch, :]
+        return acc, final_t, attr, padded_bins, packed
 
     @jax.custom_vjp
     def composite(
-        xys, conics, colors, opacities, sorted_gids, tile_bins,
-        expansion_ids, counts,
+        xys, conics, colors, opacities, sorted_gids, expansion_ids,
+        tile_bins, counts,
     ):
-        n = xys.shape[0]
-        gid = jnp.minimum(sorted_gids, n - 1)
-        attr = pack_attrs(xys, conics, colors, opacities, gid, gid.shape[0])
-        packed = rp.composite_tiles_fwd(
-            attr, tile_bins, tile_bounds, block_width, ch=ch,
-            interpret=interpret,
+        acc, final_t, *_ = _forward(
+            xys, conics, colors, opacities, sorted_gids, expansion_ids,
+            tile_bins,
         )
-        acc = packed[:, 0:ch, :].transpose(0, 2, 1)
-        final_t = packed[:, ch, :]
         return acc, final_t
 
     def fwd(
-        xys, conics, colors, opacities, sorted_gids, tile_bins,
-        expansion_ids, counts,
+        xys, conics, colors, opacities, sorted_gids, expansion_ids,
+        tile_bins, counts,
     ):
+        acc, final_t, attr, padded_bins, packed = _forward(
+            xys, conics, colors, opacities, sorted_gids, expansion_ids,
+            tile_bins,
+        )
         n = xys.shape[0]
-        gid = jnp.minimum(sorted_gids, n - 1)
-        attr = pack_attrs(xys, conics, colors, opacities, gid, gid.shape[0])
-        packed = rp.composite_tiles_fwd(
-            attr, tile_bins, tile_bounds, block_width, ch=ch,
-            interpret=interpret,
-        )
-        acc = packed[:, 0:ch, :].transpose(0, 2, 1)
-        final_t = packed[:, ch, :]
-        return (acc, final_t), (
-            attr, sorted_gids, tile_bins, expansion_ids, counts, packed, n
-        )
+        cap = sorted_gids.shape[0]
+        return (acc, final_t), (attr, padded_bins, counts, packed, n, cap)
 
     def bwd(res, cts):
-        attr, sorted_gids, tile_bins, expansion_ids, counts, packed, n = res
+        attr, padded_bins, counts, packed, n, cap = res
         g_acc, g_final_t = cts
         p = block_width * block_width
         num_tiles = tile_bounds[0] * tile_bounds[1]
@@ -349,10 +408,12 @@ def _make_composite_pallas(
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
         g_attr = rp.composite_tiles_bwd(
-            attr, tile_bins, packed, ct_packed, tile_bounds, block_width,
+            attr, padded_bins, packed, ct_packed, tile_bounds, block_width,
             ch=ch, interpret=interpret,
         )
-        real = sorted_gids < n
+        gid_p = attr[GID_ROW].astype(jnp.int32)
+        eidx_p = attr[EIDX_ROW].astype(jnp.int32)
+        real = gid_p < n
         g_rows = jnp.where(real[None, :], g_attr, 0.0)
 
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
@@ -361,19 +422,19 @@ def _make_composite_pallas(
         # contiguous prefix, so one sort of (eidx, position) aligns row e
         # with expansion index e — then an inclusive cumsum + boundary
         # differences yields every Gaussian's sum (~3 ms total).
-        cp = sorted_gids.shape[0]
-        cap_orig = cp - num_tiles * rp.CHUNK
+        cp = attr.shape[1]
+        eidx_key = jnp.where(real, eidx_p, cp)
         _, pos = jax.lax.sort(
-            (expansion_ids, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
+            (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
         )
-        g_e = g_rows[:, pos[:cap_orig]].T  # (cap_orig, ATTR_ROWS)
+        g_e = g_rows[:, pos[:cap]].T  # (cap, ATTR_ROWS)
         s = jnp.cumsum(g_e, axis=0)
         s0 = jnp.concatenate([jnp.zeros((1, s.shape[1]), s.dtype), s], axis=0)
         from gstk_tpu.ops.binning import _cumsum_1d
 
         cum = _cumsum_1d(counts.astype(jnp.int32))
-        hi = jnp.clip(cum, 0, cap_orig)
-        lo = jnp.clip(cum - counts, 0, cap_orig)
+        hi = jnp.clip(cum, 0, cap)
+        lo = jnp.clip(cum - counts, 0, cap)
         per_gauss = s0[hi] - s0[lo]  # (n, ATTR_ROWS)
         int_zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (
@@ -381,9 +442,9 @@ def _make_composite_pallas(
             per_gauss[:, 2:5],
             per_gauss[:, 6 : 6 + ch],
             per_gauss[:, 5],
-            int_zero(sorted_gids),
-            int_zero(tile_bins),
-            int_zero(expansion_ids),
+            int_zero(jnp.zeros((cap,), jnp.int32)),
+            int_zero(jnp.zeros((cap,), jnp.int32)),
+            int_zero(jnp.zeros((num_tiles, 2), jnp.int32)),
             int_zero(counts),
         )
 
@@ -501,18 +562,13 @@ def rasterize(
     )
     backend = _resolve_backend(config)
     if backend in ("pallas", "pallas_interpret"):
-        from gstk_tpu.ops.binning import pad_tile_ranges
-        from gstk_tpu.ops.raster_pallas import CHUNK
-
-        n = xys.shape[0]
-        padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
         )
         acc, final_t = composite(
-            xys, conics, colors, opacities, padded.gaussian_ids,
-            padded.tile_bins, padded.expansion_ids,
+            xys, conics, colors, opacities, isect.gaussian_ids,
+            isect.expansion_ids, isect.tile_bins,
             num_tiles_hit.astype(jnp.int32),
         )
     else:
