@@ -62,19 +62,36 @@ def data_parallel_train_step(train_step, mesh: Mesh):
     """
     n = mesh.shape[DATA_AXIS]
 
-    def sharded(state, cameras, gt_images, keys):
-        def inner(state, cam, gt, key):
+    def sharded(state, cameras, gt_images, keys, masks=None, depths=None):
+        extras_spec = tuple(
+            P(DATA_AXIS) for x in (masks, depths) if x is not None
+        )
+        extras = tuple(x for x in (masks, depths) if x is not None)
+        has_mask = masks is not None
+        has_depth = depths is not None
+
+        def inner(state, cam, gt, key, *ex):
             # shard_map keeps the (1,) shard leading dim; drop it.
             cam = jax.tree.map(lambda x: x[0], cam)
-            new_state, metrics = train_step(state, cam, gt[0], key[0])
+            i = 0
+            mask = depth = None
+            if has_mask:
+                mask = ex[i][0]
+                i += 1
+            if has_depth:
+                depth = ex[i][0]
+            new_state, metrics = train_step(
+                state, cam, gt[0], key[0], mask, depth
+            )
             return new_state, metrics
 
         return jax.shard_map(
             inner,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+            + extras_spec,
             out_specs=(P(), P()),
             check_vma=False,
-        )(state, cameras, gt_images, keys)
+        )(state, cameras, gt_images, keys, *extras)
 
     return sharded

@@ -75,6 +75,11 @@ class TrainerConfig:
     enable_tensorboard: bool = False
     vis: str = "none"  # none | viewer
     viewer_port: int = 7007
+    # data parallelism over cameras: "auto" uses all local devices when >1
+    # (one camera per device per step, pmean'd gradients); "off" forces
+    # single-device. Multi-host: also pass coordinator flags to
+    # parallel.initialize_distributed before setup.
+    data_parallel: str = "auto"  # auto | off
 
     @property
     def run_dir(self) -> Path:
@@ -135,6 +140,14 @@ class Trainer:
                 max(self.datamanager.image_size),
             )
         )
+        self.mesh = None
+        if cfg.data_parallel == "auto" and jax.device_count() > 1:
+            from gstk_tpu.parallel.mesh import get_mesh
+
+            self.mesh = get_mesh()
+            print(
+                f"Data-parallel training over {self.mesh.devices.size} devices"
+            )
         self.viewer = None
         if cfg.vis == "viewer":
             from gstk_tpu.viewer.viser_viewer import make_viewer
@@ -153,14 +166,30 @@ class Trainer:
                 if getattr(self.config.model, "freeze_means", False)
                 else ()
             )
-            self._step_cache[key] = jax.jit(
-                make_train_step(
+            if self.mesh is not None:
+                from gstk_tpu.parallel.mesh import (
+                    DATA_AXIS,
+                    data_parallel_train_step,
+                )
+
+                step = make_train_step(
                     self.config.model, self.raster_cfg, self.config.optim,
                     h, w, sh_degree, apply_scale_reg=scale_reg,
-                    frozen_groups=frozen,
-                ),
-                donate_argnums=(0,),
-            )
+                    frozen_groups=frozen, axis_name=DATA_AXIS,
+                )
+                self._step_cache[key] = jax.jit(
+                    data_parallel_train_step(step, self.mesh),
+                    donate_argnums=(0,),
+                )
+            else:
+                self._step_cache[key] = jax.jit(
+                    make_train_step(
+                        self.config.model, self.raster_cfg, self.config.optim,
+                        h, w, sh_degree, apply_scale_reg=scale_reg,
+                        frozen_groups=frozen,
+                    ),
+                    donate_argnums=(0,),
+                )
         return self._step_cache[key]
 
     def _frame_to_device(self, frame: CachedFrame, d: int):
@@ -252,16 +281,42 @@ class Trainer:
                 step // cfg.model.sh_degree_interval, cfg.model.sh_degree
             )
             scale_reg = cfg.model.use_scale_regularization and step % 10 == 0
-            _, frame = self.datamanager.next_train()
-            camera, gt, mask, depth, mscale, mshift = self._frame_to_device(
-                frame, d
-            )
-            self.key, k = jax.random.split(self.key)
             step_fn = self._step_fn(h, w, sh_degree, scale_reg)
-            with timer("train_iteration"):
-                self.state, metrics = step_fn(
-                    self.state, camera, gt, k, mask, depth, mscale, mshift
+            self.key, k = jax.random.split(self.key)
+            if self.mesh is None:
+                _, frame = self.datamanager.next_train()
+                camera, gt, mask, depth, mscale, mshift = (
+                    self._frame_to_device(frame, d)
                 )
+                with timer("train_iteration"):
+                    self.state, metrics = step_fn(
+                        self.state, camera, gt, k, mask, depth, mscale, mshift
+                    )
+            else:
+                n_dev = self.mesh.devices.size
+                parts = [
+                    self._frame_to_device(self.datamanager.next_train()[1], d)
+                    for _ in range(n_dev)
+                ]
+                cameras = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[p[0] for p in parts]
+                )
+                gts = jnp.stack([p[1] for p in parts])
+                masks = (
+                    jnp.stack([p[2] for p in parts])
+                    if parts[0][2] is not None
+                    else None
+                )
+                depths = (
+                    jnp.stack([p[3] for p in parts])
+                    if parts[0][3] is not None
+                    else None
+                )
+                keys = jax.random.split(k, n_dev)
+                with timer("train_iteration"):
+                    self.state, metrics = step_fn(
+                        self.state, cameras, gts, keys, masks, depths
+                    )
 
             if (step + 1) % cfg.model.refine_every == 0:
                 self.key, k2 = jax.random.split(self.key)
