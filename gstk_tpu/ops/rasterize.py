@@ -428,14 +428,38 @@ def _make_composite_pallas(
             (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
         )
         g_e = g_rows[:, pos[:cap]].T  # (cap, ATTR_ROWS)
-        s = jnp.cumsum(g_e, axis=0)
-        s0 = jnp.concatenate([jnp.zeros((1, s.shape[1]), s.dtype), s], axis=0)
+
+        # Two-level prefix sums: a single f32 running sum over ~1M entries
+        # suffers catastrophic cancellation when a Gaussian's own sum is tiny
+        # relative to the global prefix; block-local cumsums (256 entries)
+        # plus a short block-level prefix keep the error ~sqrt(block/total)
+        # smaller at the same cost.
+        B = 256
+        nb = cap // B
+        assert nb * B == cap, "isect capacity must be a multiple of 256"
+        rows = g_e.shape[1]
+        xb = g_e.reshape(nb, B, rows)
+        local = jnp.cumsum(xb, axis=1)  # within-block inclusive
+        block_prefix = jnp.concatenate(
+            [jnp.zeros((1, rows), g_e.dtype), jnp.cumsum(local[:, -1, :], axis=0)],
+            axis=0,
+        )  # (nb+1, rows) exclusive prefix of block totals
+
+        def prefix_at(idx):  # exclusive prefix sum of g_e[:idx], idx in [0, cap]
+            b = idx // B
+            r = idx % B
+            b_in = jnp.minimum(b, nb - 1)
+            within = jnp.where(
+                (r > 0)[:, None], local[b_in, jnp.maximum(r - 1, 0)], 0.0
+            )
+            return block_prefix[b] + within
+
         from gstk_tpu.ops.binning import _cumsum_1d
 
         cum = _cumsum_1d(counts.astype(jnp.int32))
         hi = jnp.clip(cum, 0, cap)
         lo = jnp.clip(cum - counts, 0, cap)
-        per_gauss = s0[hi] - s0[lo]  # (n, ATTR_ROWS)
+        per_gauss = prefix_at(hi) - prefix_at(lo)  # (n, ATTR_ROWS)
         int_zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (
             per_gauss[:, 0:2],
