@@ -42,30 +42,51 @@ ATTR_ROWS = 16
 OUT_ROWS = 8
 
 
-def _pixel_coords(tile_idx, tiles_x: int, block_width: int):
-    """Pixel centers of a tile: (P, 1) float32 x and y, P = block_width^2."""
-    p = block_width * block_width
+def _tile_origin(tile_idx, tiles_x: int, block_width: int):
     tx = tile_idx % tiles_x
     ty = tile_idx // tiles_x
+    return (
+        (tx * block_width).astype(jnp.float32),
+        (ty * block_width).astype(jnp.float32),
+    )
+
+
+def _pixel_basis(block_width: int):
+    """Quadratic pixel basis [1, px, py, px^2, py^2, px*py] in tile-local
+    coordinates: (P, 6). sigma over a chunk is then ONE MXU contraction
+    (P,6)@(6,K) instead of ~8 VPU ops on (P,K) tensors; tile-local coords
+    keep the quadratic terms small enough for f32."""
+    p = block_width * block_width
     pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (tx * block_width + pix % block_width).astype(jnp.float32)
-    py = (ty * block_width + pix // block_width).astype(jnp.float32)
-    return px, py
+    px = (pix % block_width).astype(jnp.float32)
+    py = (pix // block_width).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, py * py, px * py], axis=1
+    ), px, py
 
 
-def _chunk_alpha(chunk, px, py, off, end):
-    """Alpha/validity for one (ATTR_ROWS, CHUNK) chunk against (P,1) pixels.
+def _chunk_alpha(chunk, basis, ox, oy, off, end):
+    """Alpha/validity for one (ATTR_ROWS, CHUNK) chunk.
 
-    Returns (a_eff (P,K), logm (P,K) = log1p(-a_eff), extras for bwd)."""
-    x = chunk[0:1, :]
-    y = chunk[1:2, :]
+    Returns (a_eff (P,K), logm (P,K), valid, extras for bwd). Entry centers
+    are shifted into tile-local coordinates; sigma = basis @ C where C packs
+    the quadratic-form coefficients per entry."""
+    x = chunk[0:1, :] - ox
+    y = chunk[1:2, :] - oy
     ca = chunk[2:3, :]
     cb = chunk[3:4, :]
     cc = chunk[4:5, :]
     op = chunk[5:6, :]
-    dx = x - px  # (P, K)
-    dy = y - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    c0 = 0.5 * (ca * x * x + cc * y * y) + cb * x * y
+    c1 = -(ca * x + cb * y)
+    c2 = -(cc * y + cb * x)
+    coeffs = jnp.concatenate(
+        [c0, c1, c2, 0.5 * ca, 0.5 * cc, cb], axis=0
+    )  # (6, K)
+    sigma = jax.lax.dot_general(
+        basis, coeffs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (P, K)
     exp_neg = jnp.exp(-sigma)
     raw = op * exp_neg
     alpha = jnp.minimum(raw, _ALPHA_CLAMP)
@@ -74,7 +95,7 @@ def _chunk_alpha(chunk, px, py, off, end):
     valid = (sigma >= 0.0) & (alpha >= _ALPHA_CUTOFF) & in_range
     a_eff = jnp.where(valid, alpha, 0.0)
     logm = jnp.log1p(-a_eff)
-    return a_eff, logm, valid, (dx, dy, ca, cb, cc, exp_neg, raw)
+    return a_eff, logm, valid, (x, y, ca, cb, cc, op, raw, alpha)
 
 
 def _cumsum_lanes(x):
@@ -117,7 +138,8 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = bins_ref[2 * t]
     end = bins_ref[2 * t + 1]
-    px, py = _pixel_coords(t, tiles_x, block_width)
+    ox, oy = _tile_origin(t, tiles_x, block_width)
+    basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
@@ -153,7 +175,7 @@ def _fwd_kernel(
             sem.at[slot],
         ).wait()
         chunk = chunk_vmem[slot]
-        a_eff, logm, valid, _ = _chunk_alpha(chunk, px, py, off, end)
+        a_eff, logm, valid, _ = _chunk_alpha(chunk, basis, ox, oy, off, end)
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
         colors = chunk[6 : 6 + ch, :]  # (ch, K)
@@ -234,7 +256,8 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = bins_ref[2 * t]
     end = bins_ref[2 * t + 1]
-    px, py = _pixel_coords(t, tiles_x, block_width)
+    ox, oy = _tile_origin(t, tiles_x, block_width)
+    basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
 
     g_img = ct_ref[0, 0:ch, :]  # (ch, P)
@@ -261,8 +284,8 @@ def _bwd_kernel(
         dma.start()
         dma.wait()
         chunk = chunk_vmem[...]
-        a_eff, logm, valid, extras = _chunk_alpha(chunk, px, py, off, end)
-        dx, dy, ca, cb, cc, exp_neg, raw, = extras
+        a_eff, logm, valid, extras = _chunk_alpha(chunk, basis, ox, oy, off, end)
+        x, y, ca, cb, cc, op, raw, alpha = extras
         a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
         kept = a_k > 0.0
         w = t_prev * a_k  # (P, K)
@@ -281,20 +304,38 @@ def _bwd_kernel(
         )
         v_alpha = jnp.where(kept, v_alpha, 0.0)
         gate = kept & (raw <= _ALPHA_CLAMP)
-        v_opac = jnp.where(gate, exp_neg * v_alpha, 0.0)
         v_sigma = jnp.where(gate, -a_eff * v_alpha, 0.0)
 
-        # reductions over pixels (sublane axis 0)
+        # Pixel reductions via quadratic moments: one MXU contraction
+        # basis^T @ v_sigma gives [S, S px, S py, S px^2, S py^2, S px py];
+        # every conic/position/opacity gradient is a per-entry (1, K)
+        # combination of these (dx = x - px in tile-local coords, and
+        # v_opac = exp(-sigma) v_alpha = -v_sigma / opacity).
         g_colors = jax.lax.dot_general(
             g_img, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (ch, K)
-        g_x = jnp.sum((ca * dx + cb * dy) * v_sigma, axis=0, keepdims=True)
-        g_y = jnp.sum((cc * dy + cb * dx) * v_sigma, axis=0, keepdims=True)
-        g_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=0, keepdims=True)
-        g_cb = jnp.sum(dx * dy * v_sigma, axis=0, keepdims=True)
-        g_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=0, keepdims=True)
-        g_op = jnp.sum(v_opac, axis=0, keepdims=True)
+        m = jax.lax.dot_general(
+            basis, v_sigma, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6, K)
+        m0 = m[0:1, :]
+        m1x = m[1:2, :]
+        m1y = m[2:3, :]
+        m2xx = m[3:4, :]
+        m2yy = m[4:5, :]
+        m2xy = m[5:6, :]
+        s_dx = x * m0 - m1x
+        s_dy = y * m0 - m1y
+        s_dx2 = x * x * m0 - 2.0 * x * m1x + m2xx
+        s_dy2 = y * y * m0 - 2.0 * y * m1y + m2yy
+        s_dxdy = x * y * m0 - x * m1y - y * m1x + m2xy
+        g_x = ca * s_dx + cb * s_dy
+        g_y = cc * s_dy + cb * s_dx
+        g_ca = 0.5 * s_dx2
+        g_cb = s_dxdy
+        g_cc = 0.5 * s_dy2
+        g_op = -m0 / jnp.maximum(op, 1e-12)
 
         gtile_vmem[0:1, :] = g_x
         gtile_vmem[1:2, :] = g_y
