@@ -29,17 +29,29 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
-    """Depthwise separable valid-mode filtering. img (H, W, C)."""
-    c = img.shape[-1]
-    x = img.transpose(2, 0, 1)[:, None, :, :]  # (C, 1, H, W)
+def _band_matrix(n: int, win: np.ndarray) -> np.ndarray:
+    """Banded matrix B (n, n-size+1) with B[j+k, j] = win[k]: valid-mode
+    1D correlation as a matmul. Grouped depthwise convs lower poorly on TPU;
+    a dense (H, n)@(n, n-10) contraction rides the MXU instead."""
     size = win.shape[0]
-    wrow = jnp.asarray(win).reshape(1, 1, 1, size)
-    wcol = jnp.asarray(win).reshape(1, 1, size, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, wrow.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, wrow, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, wcol, (1, 1), "VALID", dimension_numbers=dn)
-    return x[:, 0, :, :].transpose(1, 2, 0)
+    out = np.zeros((n, n - size + 1), np.float32)
+    for k in range(size):
+        out[k : k + n - size + 1, :][
+            np.arange(n - size + 1), np.arange(n - size + 1)
+        ] = win[k]
+    return out
+
+
+def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
+    """Depthwise separable valid-mode filtering via banded matmuls.
+    img (H, W, C)."""
+    h, w = img.shape[0], img.shape[1]
+    bw = jnp.asarray(_band_matrix(w, win))
+    bh = jnp.asarray(_band_matrix(h, win))
+    x = jnp.einsum("hwc,wv->hvc", img, bw, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum(
+        "hvc,hu->uvc", x, bh, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def ssim(
