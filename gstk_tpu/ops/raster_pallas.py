@@ -43,6 +43,8 @@ OUT_ROWS = 8
 
 
 def _tile_origin(tile_idx, tiles_x: int, block_width: int):
+    """Top-left pixel of a tile as float scalars (tile-local coordinate
+    shift; keeps quadratic basis terms small for f32)."""
     tx = tile_idx % tiles_x
     ty = tile_idx // tiles_x
     return (

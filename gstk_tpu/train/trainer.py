@@ -77,9 +77,13 @@ class TrainerConfig:
     viewer_port: int = 7007
     # data parallelism over cameras: "auto" uses all local devices when >1
     # (one camera per device per step, pmean'd gradients); "off" forces
-    # single-device. Multi-host: also pass coordinator flags to
-    # parallel.initialize_distributed before setup.
+    # single-device.
     data_parallel: str = "auto"  # auto | off
+    # multi-host bootstrap (reference MachineConfig, configs/base_config.py:
+    # 45-60): when set, jax.distributed.initialize runs before setup.
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     @property
     def run_dir(self) -> Path:
@@ -99,9 +103,20 @@ class Trainer:
     # -- setup ------------------------------------------------------------
     def setup(self) -> None:
         cfg = self.config
+        if cfg.coordinator_address is not None:
+            from gstk_tpu.parallel.mesh import initialize_distributed
+
+            initialize_distributed(
+                cfg.coordinator_address, cfg.num_processes, cfg.process_id
+            )
         self.run_dir = cfg.run_dir
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.datamanager = FullImageDatamanager(cfg.dataparser, seed=cfg.seed)
+        # per-host camera sharding for multi-host data parallelism
+        n_proc = jax.process_count()
+        self.datamanager = FullImageDatamanager(
+            cfg.dataparser, seed=cfg.seed,
+            num_shards=n_proc, shard_index=jax.process_index(),
+        )
         seed = self.datamanager.seed_points()
         n_seed = (
             seed[0].shape[0] if seed is not None else cfg.model.num_random
