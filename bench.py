@@ -57,6 +57,19 @@ def main():
     pts[:, 2] = rng.uniform(-9.0, -2.0, n)
     rgb = rng.uniform(0, 255, (n, 3)).astype(np.float32)
     scene = init_scene(jax.random.PRNGKey(0), capacity, (pts, rgb), sh_degree=3)
+    # Mid-training-like operating point: kNN-init scales on uniform random
+    # points give huge overlapping splats whose ~3.5M intersections overflow
+    # the buffer (the truncated image misrepresents throughput). Use tight
+    # splats and realistic opacities (~0.9M intersections, no truncation).
+    import jax.numpy as jnp
+
+    tight = rng.uniform(-4.5, -2.5, (n, 3)).astype(np.float32)  # log scales
+    op = rng.uniform(0.3, 0.9, n)
+    logit_op = np.log(op / (1.0 - op)).astype(np.float32)
+    scene = scene._replace(
+        scales=scene.scales.at[:n].set(jnp.asarray(tight)),
+        opacities=scene.opacities.at[:n, 0].set(jnp.asarray(logit_op)),
+    )
 
     c2w = np.eye(4)[:3].astype(np.float32)
     camera = Camera(
