@@ -52,4 +52,5 @@ def test_sphere_collider():
 def test_near_far():
     rays = generate_rays(_cam(), 8, 8)
     out = near_far_collider(rays, 0.1, 10.0)
-    assert float(out.nears[0, 0]) == 0.1 and float(out.fars[0, 0]) == 10.0
+    np.testing.assert_allclose(float(out.nears[0, 0]), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(out.fars[0, 0]), 10.0, rtol=1e-6)
