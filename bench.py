@@ -94,6 +94,15 @@ def main():
     # Warmup / compile
     state, metrics = step_fn(state, camera, gt, key)
     jax.block_until_ready(metrics["loss"])
+    if os.environ.get("BENCH_DEBUG"):
+        import sys
+
+        print(
+            f"debug: num_intersects={int(metrics['num_intersects'])} "
+            f"num_alive={int(metrics['num_alive'])} "
+            f"loss={float(metrics['loss']):.4f}",
+            file=sys.stderr,
+        )
 
     iters = 10
     t0 = time.perf_counter()
