@@ -8,10 +8,9 @@ formulation designed for the TPU memory/compute model:
 * Front-to-back alpha compositing is expressed as an **exclusive cumprod of
   (1 - alpha) + a chunk matmul** ``(pixels, K) @ (K, channels)`` — the weight
   application runs on the MXU instead of a scalar per-pixel loop. The CUDA
-  early-``break`` (stop when next transmittance <= 1e-4) is replicated
-  *exactly* by masking: T is monotone along the sorted list, so the predicate
-  ``T_prev * (1 - alpha) > 1e-4`` is true precisely for the entries the CUDA
-  loop composites before breaking.
+  early-``break`` (stop permanently when a composited entry would push T
+  <= 1e-4) is replicated *exactly* with a carried per-pixel ``dead`` flag
+  plus an in-chunk cumulative-or over break events (see ``_keep_weights``).
 * All tiles advance together through depth-sorted chunks inside one
   ``lax.while_loop`` whose trip count adapts to the fullest live tile —
   no host syncs, no dynamic shapes.
