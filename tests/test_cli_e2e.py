@@ -18,6 +18,30 @@ def dataset(tmp_path_factory):
     )
 
 
+def test_cli_cogs_with_depth(dataset, tmp_path):
+    """co-gs method trains through the CLI with sensor-depth supervision."""
+    from gstk_tpu.scripts import train as train_script
+
+    out_dir = tmp_path / "outputs_cogs"
+    train_script.main([
+        "co-gs",
+        "--data", str(dataset),
+        "--output-dir", str(out_dir),
+        "--max-num-iterations", "6",
+        "--steps-per-save", "6",
+        "--steps-per-eval-all-images", "0",
+        "--isect-capacity", str(1 << 13),
+        "--raster-chunk", "16",
+        "--model.sh-degree", "1",
+        "--model.depth-loss-start-iteration", "0",
+        "--dataparser.eval-mode", "interval",
+        "--dataparser.eval-interval", "3",
+        "--dataparser.downscale-factor", "1",
+    ])
+    runs = list(out_dir.glob("*/co-gs"))
+    assert runs and (runs[0] / "ckpts").exists()
+
+
 def test_cli_end_to_end(dataset, tmp_path):
     from gstk_tpu.scripts import eval as eval_script
     from gstk_tpu.scripts import export as export_script
