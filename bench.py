@@ -79,12 +79,13 @@ def main():
     )
 
     raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=isect_capacity)
+    donate = () if os.environ.get("BENCH_NO_DONATE") else (0,)
     step_fn = jax.jit(
         make_train_step(
             VanillaConfig(sh_degree=3, background_color="black"),
             raster_cfg, OptimizerConfig(), img_h, img_w, sh_degree=3,
         ),
-        donate_argnums=(0,),
+        donate_argnums=donate,
     )
 
     state = init_train_state(scene)
