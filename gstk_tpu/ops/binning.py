@@ -87,30 +87,48 @@ def bin_gaussians(
     n = xys.shape[0]
     num_tiles = tile_bounds[0] * tile_bounds[1]
     counts = num_tiles_hit.astype(jnp.int32)
-    cum = jnp.cumsum(counts)
+    cum = _cumsum_1d(counts)
     total = cum[-1] if n > 0 else jnp.int32(0)
     cum_excl = cum - counts
 
-    # Sentinel row guarantees sum(counts_ext) >= capacity so repeat() only
-    # truncates; overflow lanes get id == n.
-    counts_ext = jnp.concatenate([counts, jnp.array([capacity], jnp.int32)])
-    gid = jnp.repeat(
-        jnp.arange(n + 1, dtype=jnp.int32), counts_ext, total_repeat_length=capacity
-    )
+    # Slot -> gaussian id via boundary marks + cumsum (gid of slot j =
+    # #gaussians whose cumulative count <= j). Avoids jnp.repeat, whose
+    # internals lower to ~7 ms 1-D gathers at 1M slots on TPU; slots past
+    # the true total get gid == n (the sentinel) for free.
+    marks = jnp.zeros((capacity + 1,), jnp.int32).at[cum].add(1, mode="drop")
+    gid = _cumsum_1d(marks[:-1])
     is_real = gid < n
     gid_c = jnp.minimum(gid, max(n - 1, 0))
 
-    # Local offset of each slot within its Gaussian's tile bbox.
-    pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl[gid_c]
+    # All per-gaussian values needed by the expansion, packed into one (N, 8)
+    # row table gathered ONCE: 2-D row gathers run ~4x faster per row than
+    # 1-D T(1024)-layout gathers on TPU (see docs/PERFORMANCE.md). Values are
+    # small ints/depths — exact in f32.
     tile_min, tile_max = tile_bbox(
-        xys[gid_c], radii[gid_c].astype(jnp.float32), tile_bounds, block_width
+        xys, radii.astype(jnp.float32), tile_bounds, block_width
     )
     bbox_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
-    tx = tile_min[:, 0] + pos % bbox_w
-    ty = tile_min[:, 1] + pos // bbox_w
+    table = jnp.stack(
+        [
+            cum_excl.astype(jnp.float32),
+            tile_min[:, 0].astype(jnp.float32),
+            tile_min[:, 1].astype(jnp.float32),
+            bbox_w.astype(jnp.float32),
+            depths.astype(jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 8)
+    rows = table[gid_c]  # (capacity, 8)
+    pos = jnp.arange(capacity, dtype=jnp.int32) - rows[:, 0].astype(jnp.int32)
+    bw_i = rows[:, 3].astype(jnp.int32)
+    tx = rows[:, 1].astype(jnp.int32) + pos % bw_i
+    ty = rows[:, 2].astype(jnp.int32) + pos // bw_i
     tile_id = jnp.where(is_real, ty * tile_bounds[0] + tx, num_tiles)
 
-    depth_key = jnp.where(is_real, depths[gid_c], jnp.inf).astype(jnp.float32)
+    depth_key = jnp.where(is_real, rows[:, 4], jnp.inf)
     eidx = jnp.arange(capacity, dtype=jnp.int32)
     sorted_tile, _, sorted_gid, sorted_eidx = jax.lax.sort(
         (tile_id, depth_key, gid, eidx), num_keys=2

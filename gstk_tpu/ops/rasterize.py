@@ -313,7 +313,7 @@ def _make_composite_pallas(
     def pack_padded(
         xys, conics, colors, opacities, sorted_gids, expansion_ids, tile_bins
     ):
-        """Returns (attr (ATTR_ROWS, Cp), padded_bins (T, 2))."""
+        """Returns (attr (Cp, ATTR_ROWS), padded_bins (T, 2))."""
         n = xys.shape[0]
         cap = sorted_gids.shape[0]
         num_tiles = tile_bins.shape[0]
@@ -359,7 +359,10 @@ def _make_composite_pallas(
         padded_bins = jnp.stack(
             [padded_start, padded_start + counts], axis=-1
         )
-        return attr_p.T, padded_bins
+        # entry-major (Cp, ATTR_ROWS): keeps this gather and all downstream
+        # gradient gathers in the fast 2-D row layout (the attr-major
+        # transpose variant gathers ~4x slower; kernels transpose per chunk)
+        return attr_p, padded_bins
 
     def _forward(xys, conics, colors, opacities, sorted_gids, expansion_ids,
                  tile_bins):
@@ -410,10 +413,10 @@ def _make_composite_pallas(
             attr, padded_bins, packed, ct_packed, tile_bounds, block_width,
             ch=ch, interpret=interpret,
         )
-        gid_p = attr[GID_ROW].astype(jnp.int32)
-        eidx_p = attr[EIDX_ROW].astype(jnp.int32)
+        gid_p = attr[:, GID_ROW].astype(jnp.int32)
+        eidx_p = attr[:, EIDX_ROW].astype(jnp.int32)
         real = gid_p < n
-        g_rows = jnp.where(real[None, :], g_attr, 0.0)
+        g_rows = jnp.where(real[:, None], g_attr, 0.0)
 
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
         # entries measured ~25 ms): reorder gradients into expansion
@@ -421,12 +424,12 @@ def _make_composite_pallas(
         # contiguous prefix, so one sort of (eidx, position) aligns row e
         # with expansion index e — then an inclusive cumsum + boundary
         # differences yields every Gaussian's sum (~3 ms total).
-        cp = attr.shape[1]
+        cp = attr.shape[0]
         eidx_key = jnp.where(real, eidx_p, cp)
         _, pos = jax.lax.sort(
             (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
         )
-        g_e = g_rows[:, pos[:cap]].T  # (cap, ATTR_ROWS)
+        g_e = g_rows[pos[:cap]]  # (cap, ATTR_ROWS) — fast row gather
 
         # Two-level prefix sums: a single f32 running sum over ~1M entries
         # suffers catastrophic cancellation when a Gaussian's own sum is tiny

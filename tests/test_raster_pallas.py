@@ -36,11 +36,12 @@ def _prep(rng, n=300, img_w=64, img_h=48, opaque=False):
     num_tiles = tiles[0] * tiles[1]
     padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
     gid = jnp.minimum(padded.gaussian_ids, n - 1)
-    attr = jnp.zeros((ATTR_ROWS, padded.gaussian_ids.shape[0]), jnp.float32)
-    attr = attr.at[0:2].set(proj.xys[gid].T)
-    attr = attr.at[2:5].set(proj.conics[gid].T)
-    attr = attr.at[5].set(jnp.asarray(opacities)[gid])
-    attr = attr.at[6:9].set(jnp.asarray(colors)[gid].T)
+    # entry-major (Cp, ATTR_ROWS) attribute layout
+    attr = jnp.zeros((padded.gaussian_ids.shape[0], ATTR_ROWS), jnp.float32)
+    attr = attr.at[:, 0:2].set(proj.xys[gid])
+    attr = attr.at[:, 2:5].set(proj.conics[gid])
+    attr = attr.at[:, 5].set(jnp.asarray(opacities)[gid])
+    attr = attr.at[:, 6:9].set(jnp.asarray(colors)[gid])
     return cam, proj, colors, opacities, tiles, isect, padded, attr
 
 
