@@ -12,11 +12,12 @@ memory/compute model rather than translated:
     pixels, lanes = depth-sorted entries. Front-to-back compositing is an
     exclusive cumprod along lanes (log-space cumsum) and the color
     accumulation is a (ch,128)x(256,128)^T contraction on the MXU.
-  * The CUDA early-``break`` is replicated exactly by the monotone-
-    transmittance mask (see ops/rasterize.py); whole-tile early exit happens
-    at chunk granularity via the while-loop condition.
+  * The CUDA early-``break`` is replicated exactly with a carried per-pixel
+    dead flag (see ``_keep``); whole-tile early exit happens at chunk
+    granularity via the while-loop condition.
 
-Attribute layout (entry-major, (Cp, 16); kernels transpose each 8 KB chunk):
+Attribute layout (attr-major, (16, Cp); callers gather entry-major then
+transpose once — Mosaic cannot DMA 16-wide lane slices):
   row 0 x | 1 y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity |
   rows 6..6+ch-1 colors | rest padding.
 
@@ -152,7 +153,7 @@ def _fwd_kernel(
     def start_dma(i, slot):
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK), :], chunk_vmem.at[slot], sem.at[slot]
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
     @pl.when(n_chunks > 0)
@@ -173,12 +174,10 @@ def _fwd_kernel(
         start_dma(nxt, 1 - slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK), :], chunk_vmem.at[slot],
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
             sem.at[slot],
         ).wait()
-        # entry-major HBM layout (fast row gathers upstream); transpose the
-        # 8 KB chunk to attr-major for the (P, K) compute layout
-        chunk = chunk_vmem[slot].T
+        chunk = chunk_vmem[slot]
         a_eff, logm, valid, _ = _chunk_alpha(chunk, basis, ox, oy, off, end)
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
@@ -202,7 +201,7 @@ def _fwd_kernel(
         last = jnp.minimum(i_done, n_chunks - 1)
         off = pl.multiple_of(start + last * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK), :], chunk_vmem.at[slot],
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
             sem.at[slot],
         ).wait()
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
@@ -212,7 +211,7 @@ def _fwd_kernel(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_fwd(
-    s_attr: jax.Array,  # (Cp, ATTR_ROWS) padded sorted attributes (entry-major)
+    s_attr: jax.Array,  # (ATTR_ROWS, Cp) padded sorted attributes
     tile_bins: jax.Array,  # (T, 2) int32, CHUNK-aligned starts
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
@@ -233,7 +232,7 @@ def composite_tiles_fwd(
             (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, ATTR_ROWS), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -283,11 +282,11 @@ def _bwd_kernel(
         i, t_run, dead, g_prefix = c
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         dma = pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK), :], chunk_vmem, sem
+            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
         )
         dma.start()
         dma.wait()
-        chunk = chunk_vmem[...].T
+        chunk = chunk_vmem[...]
         a_eff, logm, valid, extras = _chunk_alpha(chunk, basis, ox, oy, off, end)
         x, y, ca, cb, cc, op, raw, alpha = extras
         a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
@@ -341,14 +340,13 @@ def _bwd_kernel(
         g_cc = 0.5 * s_dy2
         g_op = -m0 / jnp.maximum(op, 1e-12)
 
-        g_rows = jnp.concatenate(
+        gtile_vmem[...] = jnp.concatenate(
             [g_x, g_y, g_ca, g_cb, g_cc, g_op, g_colors,
              jnp.zeros((ATTR_ROWS - 6 - ch, CHUNK), jnp.float32)],
             axis=0,
         )  # (ATTR_ROWS, K)
-        gtile_vmem[...] = g_rows.T  # entry-major for fast downstream gathers
         wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[pl.ds(off, CHUNK), :], wsem
+            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
         )
         wdma.start()
         wdma.wait()
@@ -372,7 +370,7 @@ def _bwd_kernel(
         gtile_vmem[...] = jnp.zeros(gtile_vmem.shape, jnp.float32)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[pl.ds(off, CHUNK), :], wsem
+            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
         )
         wdma.start()
         wdma.wait()
@@ -394,10 +392,10 @@ def composite_tiles_bwd(
     ch: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-intersection gradients (Cp, ATTR_ROWS), same layout as s_attr."""
+    """Per-intersection gradients (ATTR_ROWS, Cp), same layout as s_attr."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
-    cp = s_attr.shape[0]
+    cp = s_attr.shape[1]
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
     )
@@ -417,15 +415,15 @@ def composite_tiles_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, ATTR_ROWS), jnp.float32),
-            pltpu.VMEM((CHUNK, ATTR_ROWS), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((cp, ATTR_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ATTR_ROWS, cp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -313,7 +313,7 @@ def _make_composite_pallas(
     def pack_padded(
         xys, conics, colors, opacities, sorted_gids, expansion_ids, tile_bins
     ):
-        """Returns (attr (Cp, ATTR_ROWS), padded_bins (T, 2))."""
+        """Returns (attr (Cp, ATTR_ROWS) entry-major, padded_bins (T, 2))."""
         n = xys.shape[0]
         cap = sorted_gids.shape[0]
         num_tiles = tile_bins.shape[0]
@@ -359,9 +359,10 @@ def _make_composite_pallas(
         padded_bins = jnp.stack(
             [padded_start, padded_start + counts], axis=-1
         )
-        # entry-major (Cp, ATTR_ROWS): keeps this gather and all downstream
-        # gradient gathers in the fast 2-D row layout (the attr-major
-        # transpose variant gathers ~4x slower; kernels transpose per chunk)
+        # gather entry-major (fast 2-D row gather), then one explicit
+        # transpose to the kernels' attr-major layout (a transposed gather
+        # fuses into a ~4x slower layout; Mosaic cannot DMA 16-wide lane
+        # slices so the kernel cannot consume entry-major directly)
         return attr_p, padded_bins
 
     def _forward(xys, conics, colors, opacities, sorted_gids, expansion_ids,
@@ -371,7 +372,7 @@ def _make_composite_pallas(
             tile_bins,
         )
         packed = rp.composite_tiles_fwd(
-            attr, padded_bins, tile_bounds, block_width, ch=ch,
+            attr.T, padded_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
         )
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
@@ -410,9 +411,9 @@ def _make_composite_pallas(
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
         g_attr = rp.composite_tiles_bwd(
-            attr, padded_bins, packed, ct_packed, tile_bounds, block_width,
+            attr.T, padded_bins, packed, ct_packed, tile_bounds, block_width,
             ch=ch, interpret=interpret,
-        )
+        ).T  # back to entry-major for the row gathers below
         gid_p = attr[:, GID_ROW].astype(jnp.int32)
         eidx_p = attr[:, EIDX_ROW].astype(jnp.int32)
         real = gid_p < n

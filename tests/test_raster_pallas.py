@@ -62,7 +62,7 @@ def test_pallas_fwd_matches_oracle(rng, opaque):
         rng, opaque=opaque
     )
     packed = composite_tiles_fwd(
-        attr, padded.tile_bins, tiles, 16, ch=3, interpret=True
+        attr.T, padded.tile_bins, tiles, 16, ch=3, interpret=True
     )
     img, final_t = _untile(packed, tiles, cam["img_h"], cam["img_w"], 3)
 
