@@ -79,7 +79,10 @@ def main():
     )
 
     raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=isect_capacity)
-    donate = () if os.environ.get("BENCH_NO_DONATE") else (0,)
+    # No buffer donation by default: measured slower through this TPU stack
+    # and keeps the compiled program identical to the profiling harness
+    # (warm compilation cache). Opt in with BENCH_DONATE=1.
+    donate = (0,) if os.environ.get("BENCH_DONATE") else ()
     step_fn = jax.jit(
         make_train_step(
             VanillaConfig(sh_degree=3, background_color="black"),

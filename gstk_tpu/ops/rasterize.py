@@ -371,8 +371,12 @@ def _make_composite_pallas(
             xys, conics, colors, opacities, sorted_gids, expansion_ids,
             tile_bins,
         )
+        # The barrier keeps the row-major gather and the kernel-layout
+        # transpose as separate ops — fused, XLA emits a transposed-layout
+        # gather that runs ~4x slower (see docs/PERFORMANCE.md).
+        attr_b = jax.lax.optimization_barrier(attr)
         packed = rp.composite_tiles_fwd(
-            attr.T, padded_bins, tile_bounds, block_width, ch=ch,
+            attr_b.T, padded_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
         )
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
@@ -410,10 +414,12 @@ def _make_composite_pallas(
         ct_packed = jnp.zeros((num_tiles, rp.OUT_ROWS, p), jnp.float32)
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
+        attr_b = jax.lax.optimization_barrier(attr)
         g_attr = rp.composite_tiles_bwd(
-            attr.T, padded_bins, packed, ct_packed, tile_bounds, block_width,
-            ch=ch, interpret=interpret,
+            attr_b.T, padded_bins, packed, ct_packed, tile_bounds,
+            block_width, ch=ch, interpret=interpret,
         ).T  # back to entry-major for the row gathers below
+        g_attr = jax.lax.optimization_barrier(g_attr)
         gid_p = attr[:, GID_ROW].astype(jnp.int32)
         eidx_p = attr[:, EIDX_ROW].astype(jnp.int32)
         real = gid_p < n
