@@ -16,8 +16,8 @@ memory/compute model rather than translated:
     dead flag (see ``_keep``); whole-tile early exit happens at chunk
     granularity via the while-loop condition.
 
-Attribute layout (attr-major, (16, Cp); callers gather entry-major then
-transpose once — Mosaic cannot DMA 16-wide lane slices):
+Attribute layout: block-transposed (Cp/128, 16, 128) — whole leading-index
+blocks DMA cleanly and arrive attr-major in VMEM:
   row 0 x | 1 y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity |
   rows 6..6+ch-1 colors | rest padding.
 
@@ -151,9 +151,9 @@ def _fwd_kernel(
     # Double-buffered chunk streaming: start chunk i+1's DMA before
     # compositing chunk i, so HBM latency hides behind the alpha math.
     def start_dma(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        blk = (start + i * CHUNK) // CHUNK
         pltpu.make_async_copy(
-            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
+            attr_ref.at[blk], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
     @pl.when(n_chunks > 0)
@@ -174,7 +174,7 @@ def _fwd_kernel(
         start_dma(nxt, 1 - slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
             sem.at[slot],
         ).wait()
         chunk = chunk_vmem[slot]
@@ -199,9 +199,8 @@ def _fwd_kernel(
     def _():
         slot = jax.lax.rem(i_done, 2)
         last = jnp.minimum(i_done, n_chunks - 1)
-        off = pl.multiple_of(start + last * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+            attr_ref.at[(start + last * CHUNK) // CHUNK], chunk_vmem.at[slot],
             sem.at[slot],
         ).wait()
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
@@ -211,7 +210,7 @@ def _fwd_kernel(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_fwd(
-    s_attr: jax.Array,  # (ATTR_ROWS, Cp) padded sorted attributes
+    s_attr: jax.Array,  # (Cp/CHUNK, ATTR_ROWS, CHUNK) block-transposed attributes
     tile_bins: jax.Array,  # (T, 2) int32, CHUNK-aligned starts
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
@@ -282,7 +281,7 @@ def _bwd_kernel(
         i, t_run, dead, g_prefix = c
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
         dma = pltpu.make_async_copy(
-            attr_ref.at[:, pl.ds(off, CHUNK)], chunk_vmem, sem
+            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem, sem
         )
         dma.start()
         dma.wait()
@@ -346,7 +345,7 @@ def _bwd_kernel(
             axis=0,
         )  # (ATTR_ROWS, K)
         wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
+            gtile_vmem, gout_ref.at[(start + i * CHUNK) // CHUNK], wsem
         )
         wdma.start()
         wdma.wait()
@@ -368,9 +367,8 @@ def _bwd_kernel(
 
     def zbody(i):
         gtile_vmem[...] = jnp.zeros(gtile_vmem.shape, jnp.float32)
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[:, pl.ds(off, CHUNK)], wsem
+            gtile_vmem, gout_ref.at[(start + i * CHUNK) // CHUNK], wsem
         )
         wdma.start()
         wdma.wait()
@@ -392,10 +390,10 @@ def composite_tiles_bwd(
     ch: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-intersection gradients (ATTR_ROWS, Cp), same layout as s_attr."""
+    """Per-intersection gradients (Cp/CHUNK, ATTR_ROWS, CHUNK), block layout."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
-    cp = s_attr.shape[1]
+    cp = s_attr.shape[0] * CHUNK
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
     )
@@ -423,7 +421,9 @@ def composite_tiles_bwd(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((ATTR_ROWS, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (cp // CHUNK, ATTR_ROWS, CHUNK), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -359,10 +359,6 @@ def _make_composite_pallas(
         padded_bins = jnp.stack(
             [padded_start, padded_start + counts], axis=-1
         )
-        # gather entry-major (fast 2-D row gather), then one explicit
-        # transpose to the kernels' attr-major layout (a transposed gather
-        # fuses into a ~4x slower layout; Mosaic cannot DMA 16-wide lane
-        # slices so the kernel cannot consume entry-major directly)
         return attr_p, padded_bins
 
     def _forward(xys, conics, colors, opacities, sorted_gids, expansion_ids,
@@ -371,12 +367,15 @@ def _make_composite_pallas(
             xys, conics, colors, opacities, sorted_gids, expansion_ids,
             tile_bins,
         )
-        # The barrier keeps the row-major gather and the kernel-layout
-        # transpose as separate ops — fused, XLA emits a transposed-layout
-        # gather that runs ~4x slower (see docs/PERFORMANCE.md).
-        attr_b = jax.lax.optimization_barrier(attr)
+        # Kernels consume the block-transposed view (Cp/128, 16, 128):
+        # whole leading-index blocks DMA cleanly (Mosaic cannot slice
+        # 16-wide lane dims) and the batched 128x16 transposes relayout far
+        # faster than one big fused transposed-layout gather.
+        cp = attr.shape[0]
+        attr_bt = attr.reshape(cp // rp.CHUNK, rp.CHUNK, rp.ATTR_ROWS)
+        attr_bt = jnp.swapaxes(attr_bt, 1, 2)
         packed = rp.composite_tiles_fwd(
-            attr_b.T, padded_bins, tile_bounds, block_width, ch=ch,
+            attr_bt, padded_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
         )
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
@@ -414,24 +413,25 @@ def _make_composite_pallas(
         ct_packed = jnp.zeros((num_tiles, rp.OUT_ROWS, p), jnp.float32)
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
-        attr_b = jax.lax.optimization_barrier(attr)
-        g_attr = rp.composite_tiles_bwd(
-            attr_b.T, padded_bins, packed, ct_packed, tile_bounds,
+        cp = attr.shape[0]
+        attr_bt = jnp.swapaxes(
+            attr.reshape(cp // rp.CHUNK, rp.CHUNK, rp.ATTR_ROWS), 1, 2
+        )
+        g_bt = rp.composite_tiles_bwd(
+            attr_bt, padded_bins, packed, ct_packed, tile_bounds,
             block_width, ch=ch, interpret=interpret,
-        ).T  # back to entry-major for the row gathers below
-        g_attr = jax.lax.optimization_barrier(g_attr)
+        )  # (Cp/128, 16, 128)
+        g_attr = jnp.swapaxes(g_bt, 1, 2).reshape(cp, rp.ATTR_ROWS)
         gid_p = attr[:, GID_ROW].astype(jnp.int32)
         eidx_p = attr[:, EIDX_ROW].astype(jnp.int32)
         real = gid_p < n
         g_rows = jnp.where(real[:, None], g_attr, 0.0)
-
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
         # entries measured ~25 ms): reorder gradients into expansion
         # (gaussian-major) order — live expansion ids always form a
         # contiguous prefix, so one sort of (eidx, position) aligns row e
         # with expansion index e — then an inclusive cumsum + boundary
         # differences yields every Gaussian's sum (~3 ms total).
-        cp = attr.shape[0]
         eidx_key = jnp.where(real, eidx_p, cp)
         _, pos = jax.lax.sort(
             (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1

@@ -61,8 +61,10 @@ def test_pallas_fwd_matches_oracle(rng, opaque):
     cam, proj, colors, opacities, tiles, isect, padded, attr = _prep(
         rng, opaque=opaque
     )
+    cp = attr.shape[0]
+    attr_bt = jnp.swapaxes(attr.reshape(cp // CHUNK, CHUNK, ATTR_ROWS), 1, 2)
     packed = composite_tiles_fwd(
-        attr.T, padded.tile_bins, tiles, 16, ch=3, interpret=True
+        attr_bt, padded.tile_bins, tiles, 16, ch=3, interpret=True
     )
     img, final_t = _untile(packed, tiles, cam["img_h"], cam["img_w"], 3)
 
