@@ -108,11 +108,15 @@ def main():
             file=sys.stderr,
         )
 
-    iters = 10
+    iters = 20
+    # Pre-split keys: a per-iteration random.split adds a full host->device
+    # dispatch round trip through the (tunneled) runtime, which dominated
+    # the measurement (160 ms/step apparent vs 74 ms actual).
+    keys = [k for k in jax.random.split(key, iters)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(iters):
-        key, k = jax.random.split(key)
-        state, metrics = step_fn(state, camera, gt, k)
+        state, metrics = step_fn(state, camera, gt, keys[i])
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 

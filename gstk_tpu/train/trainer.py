@@ -134,6 +134,7 @@ class Trainer:
             chunk_size=cfg.raster_chunk, isect_capacity=cfg.isect_capacity
         )
         self.key = jax.random.PRNGKey(cfg.seed + 1)
+        self._key_buffer = []
         self.writer = GLOBAL_WRITER
         self.writer.backends = [
             LocalWriter(cfg.max_num_iterations, cfg.log_every),
@@ -206,6 +207,14 @@ class Trainer:
                     donate_argnums=(0,),
                 )
         return self._step_cache[key]
+
+    def _next_key(self):
+        """Pre-split PRNG keys in batches: a per-step random.split costs a
+        full dispatch round trip (tens of ms on tunneled runtimes)."""
+        if not self._key_buffer:
+            self.key, sub = jax.random.split(self.key)
+            self._key_buffer = list(jax.random.split(sub, 64))
+        return self._key_buffer.pop()
 
     def _frame_to_device(self, frame: CachedFrame, d: int):
         """Downscale (coarse-to-fine) and build (camera, gt, mask)."""
@@ -297,7 +306,7 @@ class Trainer:
             )
             scale_reg = cfg.model.use_scale_regularization and step % 10 == 0
             step_fn = self._step_fn(h, w, sh_degree, scale_reg)
-            self.key, k = jax.random.split(self.key)
+            k = self._next_key()
             if self.mesh is None:
                 _, frame = self.datamanager.next_train()
                 camera, gt, mask, depth, mscale, mshift = (
@@ -334,7 +343,7 @@ class Trainer:
                     )
 
             if (step + 1) % cfg.model.refine_every == 0:
-                self.key, k2 = jax.random.split(self.key)
+                k2 = self._next_key()
                 with timer("refinement"):
                     scene, adam, refine_state, info = self._refine_fn(
                         self.state, self.state.step, k2
