@@ -89,6 +89,7 @@ def _chunk_alpha(chunk, basis, ox, oy, off, end):
     sigma = jax.lax.dot_general(
         basis, coeffs, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (P, K)
     exp_neg = jnp.exp(-sigma)
     raw = op * exp_neg
@@ -110,7 +111,9 @@ def _cumsum_lanes(x):
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (row <= col).astype(jnp.float32)
     return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -185,6 +188,7 @@ def _fwd_kernel(
         contrib = jax.lax.dot_general(
             colors, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (ch, P)
         out_ref[0, 0:ch, :] += contrib
         return i + 1, t_run * jnp.exp(log_dec), dead
@@ -296,6 +300,7 @@ def _bwd_kernel(
         g_dot_col = jax.lax.dot_general(
             g_img, colors, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (P, K)
         g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col)
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
@@ -316,10 +321,12 @@ def _bwd_kernel(
         g_colors = jax.lax.dot_general(
             g_img, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (ch, K)
         m = jax.lax.dot_general(
             basis, v_sigma, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (6, K)
         m0 = m[0:1, :]
         m1x = m[1:2, :]

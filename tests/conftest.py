@@ -8,7 +8,10 @@ anywhere, while the real TPU path shares the exact same code.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_USE_TPU = os.environ.get("GSTK_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,9 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-# The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon) via
-# sitecustomize; the config update wins over the env var.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    # The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon) via
+    # sitecustomize; the config update wins over the env var. Set
+    # GSTK_TEST_TPU=1 to run hardware tests (tests/test_tpu_smoke.py).
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
