@@ -151,7 +151,8 @@ def _composite_fwd_loop(
         w = t_prev * a_k  # (T, P, K)
         col = s_color[idx]  # (T, K, ch)
         acc = acc + jnp.einsum(
-            "tpk,tkc->tpc", w, col, preferred_element_type=jnp.float32
+            "tpk,tkc->tpc", w, col, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return i + 1, t_next, dead, acc
 
@@ -215,7 +216,8 @@ def _composite_bwd_loop(
 
         # <g, c_k> per (tile, pixel, k) — MXU batched matmul.
         g_dot_col = jnp.einsum(
-            "tpc,tkc->tpk", g_img, col, preferred_element_type=jnp.float32
+            "tpc,tkc->tpk", g_img, col, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         g_dot_prefix_incl = g_dot_prefix[:, :, None] + jnp.cumsum(
             w * g_dot_col, axis=2
@@ -238,7 +240,8 @@ def _composite_bwd_loop(
 
         # Reductions over pixels -> per-intersection chunk gradients.
         g_color_k = jnp.einsum(
-            "tpk,tpc->tkc", w, g_img, preferred_element_type=jnp.float32
+            "tpk,tpc->tkc", w, g_img, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         g_opac_k = jnp.sum(v_opac_pix, axis=1)
         g_ca_k = jnp.sum(0.5 * dx * dx * v_sigma, axis=1)

@@ -151,6 +151,7 @@ def _composite_shard(
         acc = acc + jnp.einsum(
             "tpk,tkc->tpc", t_prev * a_k, s_color[idx],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return i + 1, t_next, dead, acc
 
