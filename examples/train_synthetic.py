@@ -8,10 +8,14 @@ splat PLY — the whole framework exercised without any dataset on disk.
 """
 
 import argparse
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# allow running from anywhere without installation
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

@@ -47,16 +47,17 @@ class Renderer:
         self.background = jnp.asarray(background, jnp.float32)
         self._cache: Dict = {}
 
-    def _render_fn(self, h: int, w: int):
-        key = (h, w)
+    def _render_fn(self, h: int, w: int, has_crop: bool):
+        key = (h, w, has_crop)
         if key not in self._cache:
             cfg = self.model_config
 
-            def fn(scene: GaussianScene, camera: Camera):
+            def fn(scene: GaussianScene, camera: Camera, crop_box=None):
                 return render_scene(
                     scene, camera, h, w,
                     sh_degree=cfg.sh_degree, background=self.background,
                     config=cfg, raster_config=self.raster_config,
+                    crop_box=crop_box,
                 )
 
             self._cache[key] = jax.jit(fn)
@@ -64,17 +65,23 @@ class Renderer:
 
     def get_output_from_pose(
         self, c2w: np.ndarray, fx: float, fy: float, cx: float, cy: float,
-        height: int, width: int,
+        height: int, width: int, crop_box=None,
     ) -> Dict[str, np.ndarray]:
         """Render one pose ((3,4) or (4,4) OpenGL c2w). Returns numpy rgb
-        (H,W,3), depth (H,W), accumulation (H,W)."""
+        (H,W,3), depth (H,W), accumulation (H,W). ``crop_box`` is an optional
+        SceneBox/OrientedBox filtering the Gaussians (the reference's
+        get_outputs_for_camera obb_box, vanilla_gs.py:949)."""
         c2w = np.asarray(c2w, np.float32)
         camera = Camera(
             fx=jnp.float32(fx), fy=jnp.float32(fy),
             cx=jnp.float32(cx), cy=jnp.float32(cy),
             c2w=jnp.asarray(c2w[:3, :4]),
         )
-        out = self._render_fn(height, width)(self.scene, camera)
+        fn = self._render_fn(height, width, crop_box is not None)
+        if crop_box is not None:
+            out = fn(self.scene, camera, crop_box)
+        else:
+            out = fn(self.scene, camera)
         return {
             "rgb": np.asarray(out["rgb"]),
             "depth": np.asarray(out["depth"]),
