@@ -62,26 +62,38 @@ def data_parallel_train_step(train_step, mesh: Mesh):
     """
     n = mesh.shape[DATA_AXIS]
 
-    def sharded(state, cameras, gt_images, keys, masks=None, depths=None):
+    def sharded(
+        state, cameras, gt_images, keys, masks=None, depths=None,
+        camera_indices=None,
+    ):
         extras_spec = tuple(
-            P(DATA_AXIS) for x in (masks, depths) if x is not None
+            P(DATA_AXIS)
+            for x in (masks, depths, camera_indices)
+            if x is not None
         )
-        extras = tuple(x for x in (masks, depths) if x is not None)
+        extras = tuple(
+            x for x in (masks, depths, camera_indices) if x is not None
+        )
         has_mask = masks is not None
         has_depth = depths is not None
+        has_cam_idx = camera_indices is not None
 
         def inner(state, cam, gt, key, *ex):
             # shard_map keeps the (1,) shard leading dim; drop it.
             cam = jax.tree.map(lambda x: x[0], cam)
             i = 0
-            mask = depth = None
+            mask = depth = cam_idx = None
             if has_mask:
                 mask = ex[i][0]
                 i += 1
             if has_depth:
                 depth = ex[i][0]
+                i += 1
+            if has_cam_idx:
+                cam_idx = ex[i][0]
             new_state, metrics = train_step(
-                state, cam, gt[0], key[0], mask, depth
+                state, cam, gt[0], key[0], mask, depth,
+                camera_index=cam_idx,
             )
             return new_state, metrics
 

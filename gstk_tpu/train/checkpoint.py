@@ -90,6 +90,11 @@ def load_checkpoint(path, template: TrainState) -> TrainState:
     new_leaves = []
     for pth, leaf in leaves:
         key = "/".join(str(p) for p in pth)
+        if key not in data:
+            # field absent in the checkpoint (e.g. camera-opt enabled after
+            # the checkpoint was written): keep the template's init value
+            new_leaves.append(leaf)
+            continue
         arr = data[key]
         leaf_shape = np.shape(leaf)
         if arr.shape != leaf_shape:

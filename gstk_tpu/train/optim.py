@@ -110,6 +110,8 @@ class OptimizerConfig:
     )
     means_lr_final: float = 1.6e-6
     means_max_steps: int = 30_000
+    # extra per-group exponential decays: ((group, lr_final, max_steps), ...)
+    extra_exp: tuple = ()
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-15
@@ -124,6 +126,9 @@ class OptimizerConfig:
         base = self.lr_for(group)
         if group == "means":
             return exponential_decay(base, self.means_lr_final, self.means_max_steps)
+        for name, lr_final, max_steps in self.extra_exp:
+            if name == group:
+                return exponential_decay(base, lr_final, max_steps)
         return lambda step: jnp.asarray(base, jnp.float32)
 
 

@@ -43,14 +43,30 @@ class TrainState(NamedTuple):
     adam: AdamState
     refine: RefineState
     step: jax.Array  # () int32
+    # camera-pose refinement (None unless enabled): (num_cameras, 6)
+    # tangent-space adjustments + their own Adam moments.
+    cam_adjust: Optional[jax.Array] = None
+    cam_adam: Optional[AdamState] = None
 
 
-def init_train_state(scene: GaussianScene) -> TrainState:
+def init_train_state(
+    scene: GaussianScene, num_cameras: Optional[int] = None
+) -> TrainState:
+    """``num_cameras`` enables the camera-opt group (reference registers it
+    unconditionally, method_configs.py:75-80; here it is opt-in)."""
+    cam_adjust = cam_adam = None
+    if num_cameras is not None:
+        from gstk_tpu.core.camera_opt import init_camera_opt
+
+        cam_adjust = init_camera_opt(num_cameras)
+        cam_adam = init_adam({"camera_opt": cam_adjust})
     return TrainState(
         scene=scene,
         adam=init_adam(scene.params()),
         refine=init_refine_state(scene.capacity),
         step=jnp.zeros((), jnp.int32),
+        cam_adjust=cam_adjust,
+        cam_adam=cam_adam,
     )
 
 
@@ -74,6 +90,7 @@ def make_train_step(
     apply_scale_reg: bool = False,
     axis_name: Optional[str] = None,
     frozen_groups: tuple = (),
+    camera_opt: Optional["CameraOptConfig"] = None,
 ):
     """Build the step function for a static (image size, sh degree) config.
 
@@ -85,9 +102,30 @@ def make_train_step(
     Under ``shard_map`` pass ``axis_name`` to psum gradients and densify
     statistics across the data axis. ``frozen_groups`` (e.g. ("means",) for
     surface-gs) receive no parameter updates.
+
+    With ``camera_opt`` (mode != "off") the state must carry camera-opt
+    params (``init_train_state(scene, num_cameras=N)``) and the step takes a
+    ``camera_index`` kwarg; the learned delta is composed onto the camera,
+    the L2 pose penalty joins the loss, and the adjustments get their own
+    exp-decayed Adam group (reference camera_optimizers.py:22-150,
+    method_configs.py:75-80).
     """
+    from gstk_tpu.core.camera_opt import (
+        CameraOptConfig,
+        apply_to_camera,
+        pose_regularizer,
+    )
     from gstk_tpu.models.depth import DepthConfig, depth_loss_terms
 
+    use_cam_opt = camera_opt is not None and camera_opt.mode != "off"
+    if use_cam_opt:
+        cam_optim_cfg = OptimizerConfig(
+            lrs=(("camera_opt", camera_opt.lr),),
+            extra_exp=(
+                ("camera_opt", camera_opt.lr_final, camera_opt.max_steps),
+            ),
+            eps=1e-15,
+        )
     is_depth_model = isinstance(model_cfg, DepthConfig)
     maybe_psum = (
         (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
@@ -109,6 +147,7 @@ def make_train_step(
         depth: Optional[jax.Array] = None,
         mono_scale: Optional[jax.Array] = None,
         mono_shift: Optional[jax.Array] = None,
+        camera_index: Optional[jax.Array] = None,
     ) -> Tuple[TrainState, dict]:
         kbg, kdepth = jax.random.split(key)
         background = _background(kbg, model_cfg.background_color)
@@ -116,10 +155,15 @@ def make_train_step(
         params = state.scene.params()
         xys_zero = jnp.zeros((state.scene.capacity, 2), jnp.float32)
 
-        def loss_fn(p, xys_off):
+        def loss_fn(p, xys_off, cam_adj):
             scn = state.scene.with_params(p)
+            cam = camera
+            if use_cam_opt:
+                cam = apply_to_camera(
+                    camera, cam_adj[camera_index], camera_opt.mode
+                )
             out = render_scene(
-                scn, camera, img_height, img_width,
+                scn, cam, img_height, img_width,
                 sh_degree=sh_degree, background=background,
                 config=model_cfg, raster_config=raster_cfg,
                 xys_offset=xys_off,
@@ -129,15 +173,22 @@ def make_train_step(
                 extra = depth_loss_terms(
                     model_cfg, state.step, out["depth"], depth, gt, scn,
                     kdepth, mask=mask, mono_scale=mono_scale,
-                    mono_shift=mono_shift, camera=camera,
+                    mono_shift=mono_shift, camera=cam,
                 )
                 ld.update(extra)
+            if use_cam_opt:
+                ld["camera_opt_regularizer"] = pose_regularizer(
+                    cam_adj, camera_opt
+                )
             total = sum(ld.values())
             return total, (out, ld)
 
-        (loss, (out, ld)), (grads, g_xys) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, xys_zero)
+        argnums = (0, 1, 2) if use_cam_opt else (0, 1)
+        cam_in = state.cam_adjust if use_cam_opt else None
+        (loss, (out, ld)), all_grads = jax.value_and_grad(
+            loss_fn, argnums=argnums, has_aux=True
+        )(params, xys_zero, cam_in)
+        grads, g_xys = all_grads[0], all_grads[1]
 
         grads = jax.tree.map(maybe_pmean, grads)
         if frozen_groups:
@@ -149,6 +200,14 @@ def make_train_step(
             params, grads, state.adam, state.step, optim_cfg,
             update_mask=state.scene.alive,
         )
+        new_cam_adjust, new_cam_adam = state.cam_adjust, state.cam_adam
+        if use_cam_opt:
+            cam_upd, new_cam_adam = adam_step(
+                {"camera_opt": state.cam_adjust},
+                {"camera_opt": maybe_pmean(all_grads[2])},
+                state.cam_adam, state.step, cam_optim_cfg,
+            )
+            new_cam_adjust = cam_upd["camera_opt"]
 
         # Densify signals: accumulate the *local* screen grad norm and
         # visibility summed over the data axis.
@@ -172,11 +231,21 @@ def make_train_step(
             "num_alive": state.scene.num_alive,
             "num_intersects": maybe_pmax(out["num_intersects"]),
         }
+        if use_cam_opt:
+            # reference get_metrics_dict (camera_optimizers.py:139-148)
+            metrics["camera_opt_translation"] = jnp.mean(
+                jnp.linalg.norm(new_cam_adjust[:, :3], axis=-1)
+            )
+            metrics["camera_opt_rotation"] = jnp.mean(
+                jnp.linalg.norm(new_cam_adjust[:, 3:], axis=-1)
+            )
         new_state = TrainState(
             scene=state.scene.with_params(new_params),
             adam=new_adam,
             refine=refine,
             step=state.step + 1,
+            cam_adjust=new_cam_adjust,
+            cam_adam=new_cam_adam,
         )
         return new_state, metrics
 

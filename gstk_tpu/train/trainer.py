@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gstk_tpu.core.camera_opt import CameraOptConfig
 from gstk_tpu.core.cameras import Camera
 from gstk_tpu.core.gaussians import grow_scene, init_scene
 from gstk_tpu.data.datamanager import CachedFrame, FullImageDatamanager
@@ -66,6 +67,10 @@ class TrainerConfig:
     log_every: int = 10
     model: VanillaConfig = dataclasses.field(default_factory=VanillaConfig)
     optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    # learned camera-pose refinement (mode "off" | "SO3xR3" | "SE3")
+    camera_opt: CameraOptConfig = dataclasses.field(
+        default_factory=CameraOptConfig
+    )
     dataparser: DataparserConfig = dataclasses.field(default_factory=DataparserConfig)
     raster_chunk: int = 32
     initial_capacity_headroom: float = 4.0
@@ -129,7 +134,12 @@ class Trainer:
             random_scale=cfg.model.random_scale,
             sh_degree=cfg.model.sh_degree,
         )
-        self.state = init_train_state(scene)
+        num_cams = (
+            self.datamanager.num_train
+            if cfg.camera_opt.mode != "off"
+            else None
+        )
+        self.state = init_train_state(scene, num_cameras=num_cams)
         self.raster_cfg = RasterizeConfig(
             chunk_size=cfg.raster_chunk, isect_capacity=cfg.isect_capacity
         )
@@ -192,6 +202,7 @@ class Trainer:
                     self.config.model, self.raster_cfg, self.config.optim,
                     h, w, sh_degree, apply_scale_reg=scale_reg,
                     frozen_groups=frozen, axis_name=DATA_AXIS,
+                    camera_opt=self.config.camera_opt,
                 )
                 self._step_cache[key] = jax.jit(
                     data_parallel_train_step(step, self.mesh),
@@ -203,6 +214,7 @@ class Trainer:
                         self.config.model, self.raster_cfg, self.config.optim,
                         h, w, sh_degree, apply_scale_reg=scale_reg,
                         frozen_groups=frozen,
+                        camera_opt=self.config.camera_opt,
                     ),
                     donate_argnums=(0,),
                 )
@@ -268,7 +280,8 @@ class Trainer:
             )
             refine_state = jax.tree.map(pad, state.refine)
             self.state = TrainState(
-                scene=scene, adam=adam, refine=refine_state, step=state.step
+                scene=scene, adam=adam, refine=refine_state, step=state.step,
+                cam_adjust=state.cam_adjust, cam_adam=state.cam_adam,
             )
             self._step_cache.clear()
             self._refine_fn = jax.jit(
@@ -307,20 +320,25 @@ class Trainer:
             scale_reg = cfg.model.use_scale_regularization and step % 10 == 0
             step_fn = self._step_fn(h, w, sh_degree, scale_reg)
             k = self._next_key()
+            use_cam_opt = self.config.camera_opt.mode != "off"
             if self.mesh is None:
-                _, frame = self.datamanager.next_train()
+                cam_idx, frame = self.datamanager.next_train()
                 camera, gt, mask, depth, mscale, mshift = (
                     self._frame_to_device(frame, d)
                 )
                 with timer("train_iteration"):
                     self.state, metrics = step_fn(
-                        self.state, camera, gt, k, mask, depth, mscale, mshift
+                        self.state, camera, gt, k, mask, depth, mscale,
+                        mshift,
+                        camera_index=(
+                            jnp.int32(cam_idx) if use_cam_opt else None
+                        ),
                     )
             else:
                 n_dev = self.mesh.devices.size
+                picks = [self.datamanager.next_train() for _ in range(n_dev)]
                 parts = [
-                    self._frame_to_device(self.datamanager.next_train()[1], d)
-                    for _ in range(n_dev)
+                    self._frame_to_device(f, d) for _, f in picks
                 ]
                 cameras = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *[p[0] for p in parts]
@@ -337,9 +355,15 @@ class Trainer:
                     else None
                 )
                 keys = jax.random.split(k, n_dev)
+                cam_indices = (
+                    jnp.asarray([i for i, _ in picks], jnp.int32)
+                    if use_cam_opt
+                    else None
+                )
                 with timer("train_iteration"):
                     self.state, metrics = step_fn(
-                        self.state, cameras, gts, keys, masks, depths
+                        self.state, cameras, gts, keys, masks, depths,
+                        cam_indices,
                     )
 
             if (step + 1) % cfg.model.refine_every == 0:
@@ -351,6 +375,8 @@ class Trainer:
                     self.state = TrainState(
                         scene=scene, adam=adam, refine=refine_state,
                         step=self.state.step,
+                        cam_adjust=self.state.cam_adjust,
+                        cam_adam=self.state.cam_adam,
                     )
 
             if step % cfg.log_every == 0 or step == cfg.max_num_iterations - 1:

@@ -84,6 +84,69 @@ def test_training_improves_psnr(rng):
     assert last_psnr > first_psnr + 3.0, (first_psnr, last_psnr)
 
 
+def test_camera_opt_recovers_pose(rng):
+    """With the scene held at ground truth and a perturbed camera, the
+    camera-opt group should absorb the pose error and raise PSNR."""
+    from gstk_tpu.core.camera_opt import CameraOptConfig, apply_to_camera
+
+    gt_scene = _gt_scene(rng)
+    cams = _cameras(2)
+    cfg = VanillaConfig(background_color="black", sh_degree=0)
+    # GT must use the same color path as the train step (config.sh_degree
+    # selects SH vs sigmoid(features_dc))
+    gt_imgs = [
+        render_scene(
+            gt_scene, c, H, W, sh_degree=0, config=cfg,
+            background=jnp.zeros(3), raster_config=RASTER,
+        )["rgb"]
+        for c in cams
+    ]
+    # perturb the cameras used for training: small yaw + shift
+    true_delta = jnp.asarray([0.08, -0.05, 0.03, 0.0, 0.04, -0.03])
+    bad_cams = [apply_to_camera(c, true_delta, "SO3xR3") for c in cams]
+
+    # lr below the reference 1e-3: at this toy resolution the pose basin
+    # spans only a few pixels and Adam's normalized steps overshoot it.
+    # Scene groups frozen so the test isolates the pose gradient.
+    co = CameraOptConfig(
+        mode="SO3xR3", lr=3e-4,
+        # with only 2 cameras the mean L2 pose penalty is per-row large and
+        # Adam-normalized pulls cancel the signal; real scenes have 100s of
+        # cameras so the mean makes it negligible
+        trans_l2_penalty=0.0, rot_l2_penalty=0.0,
+    )
+    frozen = (
+        "means", "features_dc", "features_rest", "opacities", "scales",
+        "quats",
+    )
+    step_fn = jax.jit(
+        make_train_step(
+            cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0,
+            camera_opt=co, frozen_groups=frozen,
+        )
+    )
+    state = init_train_state(gt_scene, num_cameras=len(cams))
+    assert state.cam_adjust.shape == (2, 6)
+    key = jax.random.PRNGKey(5)
+    first = last = None
+    for i in range(160):
+        key, k = jax.random.split(key)
+        j = i % len(cams)
+        state, metrics = step_fn(
+            state, bad_cams[j], gt_imgs[j], k,
+            camera_index=jnp.int32(j),
+        )
+        if i == 0:
+            first = float(metrics["psnr"])
+        last = float(metrics["psnr"])
+    # both metric hooks present and adjustments actually moved
+    assert float(metrics["camera_opt_translation"]) > 0
+    assert float(metrics["camera_opt_rotation"]) > 0
+    adj = np.asarray(state.cam_adjust)
+    assert np.all(np.isfinite(adj)) and np.abs(adj).max() > 1e-4
+    assert last > first + 1.0, (first, last)
+
+
 def _mk_refine_inputs(rng, capacity=64, n=40):
     pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
     rgb = rng.uniform(0, 255, (n, 3)).astype(np.float32)

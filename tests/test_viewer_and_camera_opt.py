@@ -70,6 +70,38 @@ def test_apply_to_camera_gradients():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+def test_apply_to_camera_right_multiplies():
+    # parity with the reference composition bmm(c2w, adj)
+    # (camera_optimizers.py:110-123)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    c2w = np.concatenate([R, rng.normal(size=(3, 1))], axis=1).astype(
+        np.float32
+    )
+    cam = Camera(
+        fx=jnp.float32(50), fy=jnp.float32(50),
+        cx=jnp.float32(32), cy=jnp.float32(24), c2w=jnp.asarray(c2w),
+    )
+    tangent = jnp.asarray(rng.normal(scale=0.1, size=6), jnp.float32)
+    for mode, exp_map in (("SO3xR3", exp_map_so3xr3), ("SE3", exp_map_se3)):
+        got = np.asarray(apply_to_camera(cam, tangent, mode=mode).c2w)
+        adj4 = np.eye(4, dtype=np.float32)
+        adj4[:3] = np.asarray(exp_map(tangent))
+        c2w4 = np.eye(4, dtype=np.float32)
+        c2w4[:3] = c2w
+        np.testing.assert_allclose(got, (c2w4 @ adj4)[:3], atol=1e-5)
+
+
 def test_orbit_pose_looks_at_center():
     c2w = orbit_pose(0.7, 0.3, 2.0, (1.0, 0.5, -0.5))
     eye = c2w[:3, 3]
