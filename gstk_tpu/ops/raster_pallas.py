@@ -38,6 +38,61 @@ from jax.experimental.pallas import tpu as pltpu
 _ALPHA_CLAMP = 0.999
 _ALPHA_CUTOFF = 1.0 / 255.0
 _T_CUTOFF = 1e-4
+def _bf16_split(x, terms: int):
+    """Split x into ``terms`` bf16 values summing to ~x (each extra term
+    adds ~8 mantissa bits; 3 terms ~ full f32)."""
+    parts = []
+    r = x
+    for _ in range(terms - 1):
+        h = r.astype(jnp.bfloat16).astype(jnp.float32)
+        parts.append(h)
+        r = r - h
+    parts.append(r)
+    return parts
+
+
+def _mxu_dot(a, b, dims, a_exact=False, b_exact=False):
+    """f32 dot via bf16 multi-pass splitting on the MXU.
+
+    TPU DEFAULT-precision f32 dots truncate inputs to bf16 (which broke
+    image/gradient parity on hardware), Mosaic lowers only DEFAULT and
+    HIGHEST (6-pass), and HIGHEST doubled kernel time. ``a_exact``/
+    ``b_exact`` declare an operand exactly bf16-representable (the pixel
+    basis and the triangular cumsum matrix are small integers, exact in
+    bf16's 8-bit mantissa): the other operand splits 3-way for ~f32-exact
+    results in 3 passes — needed because sigma/transmittance feed hard
+    thresholds (1/255 alpha cutoff, T break) where ~2^-16 disagreement with
+    the jax path flips pixels. With neither operand exact (color/gradient
+    accumulations, threshold-free) a 2x2 split minus the lo*lo term gives
+    ~2^-21 in 3 passes. Parity vs the jax path is hardware-verified by
+    tests/test_tpu_smoke.py.
+    """
+    # operands are cast to bf16 explicitly so the decomposition is exact on
+    # every backend (the MXU would truncate implicitly; interpret/CPU would
+    # not, double-counting the lo terms)
+    bf = jnp.bfloat16
+    d = lambda x, y: jax.lax.dot_general(
+        x.astype(bf), y.astype(bf), dims,
+        preferred_element_type=jnp.float32,
+    )
+    if a_exact and b_exact:
+        return d(a, b)
+    if a_exact:
+        parts = _bf16_split(b, 3)
+        out = d(a, parts[0])
+        for p in parts[1:]:
+            out = out + d(a, p)
+        return out
+    if b_exact:
+        parts = _bf16_split(a, 3)
+        out = d(parts[0], b)
+        for p in parts[1:]:
+            out = out + d(p, b)
+        return out
+    a_hi, a_lo = _bf16_split(a, 2)
+    b_hi, b_lo = _bf16_split(b, 2)
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+
 CHUNK = 128  # entries per compositing chunk (= lane width)
 ATTR_ROWS = 16
 OUT_ROWS = 8
@@ -86,10 +141,8 @@ def _chunk_alpha(chunk, basis, ox, oy, off, end):
     coeffs = jnp.concatenate(
         [c0, c1, c2, 0.5 * ca, 0.5 * cc, cb], axis=0
     )  # (6, K)
-    sigma = jax.lax.dot_general(
-        basis, coeffs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    sigma = _mxu_dot(
+        basis, coeffs, (((1,), (0,)), ((), ())), a_exact=True
     )  # (P, K)
     exp_neg = jnp.exp(-sigma)
     raw = op * exp_neg
@@ -110,11 +163,7 @@ def _cumsum_lanes(x):
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (row <= col).astype(jnp.float32)
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _mxu_dot(x, tri, (((1,), (0,)), ((), ())), b_exact=True)
 
 
 def _keep(t_run, dead, a_eff, logm, valid):
@@ -185,10 +234,8 @@ def _fwd_kernel(
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
         colors = chunk[6 : 6 + ch, :]  # (ch, K)
-        contrib = jax.lax.dot_general(
-            colors, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        contrib = _mxu_dot(
+            colors, w, (((1,), (1,)), ((), ()))
         )  # (ch, P)
         out_ref[0, 0:ch, :] += contrib
         return i + 1, t_run * jnp.exp(log_dec), dead
@@ -297,10 +344,8 @@ def _bwd_kernel(
         w = t_prev * a_k  # (P, K)
         colors = chunk[6 : 6 + ch, :]  # (ch, K)
 
-        g_dot_col = jax.lax.dot_general(
-            g_img, colors, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        g_dot_col = _mxu_dot(
+            g_img, colors, (((0,), (0,)), ((), ()))
         )  # (P, K)
         g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col)
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
@@ -318,15 +363,11 @@ def _bwd_kernel(
         # every conic/position/opacity gradient is a per-entry (1, K)
         # combination of these (dx = x - px in tile-local coords, and
         # v_opac = exp(-sigma) v_alpha = -v_sigma / opacity).
-        g_colors = jax.lax.dot_general(
-            g_img, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        g_colors = _mxu_dot(
+            g_img, w, (((1,), (0,)), ((), ()))
         )  # (ch, K)
-        m = jax.lax.dot_general(
-            basis, v_sigma, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        m = _mxu_dot(
+            basis, v_sigma, (((0,), (0,)), ((), ())), a_exact=True
         )  # (6, K)
         m0 = m[0:1, :]
         m1x = m[1:2, :]

@@ -358,7 +358,13 @@ def _make_composite_pallas(
         fill = jnp.zeros((rp.ATTR_ROWS,), jnp.float32).at[GID_ROW].set(
             float(n)
         )
-        attr_p = jnp.where(valid[:, None], attr_sorted[src_c], fill)
+        # The barrier stops layout assignment from propagating the pallas
+        # operand's column-major layout into the gather (a {0,1}-layout
+        # gather writes 16-float columns at ~20 GB/s; row-major + explicit
+        # block transpose is ~4x faster in step traces).
+        attr_p = jax.lax.optimization_barrier(
+            jnp.where(valid[:, None], attr_sorted[src_c], fill)
+        )
         padded_bins = jnp.stack(
             [padded_start, padded_start + counts], axis=-1
         )
@@ -439,7 +445,9 @@ def _make_composite_pallas(
         _, pos = jax.lax.sort(
             (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
         )
-        g_e = g_rows[pos[:cap]]  # (cap, ATTR_ROWS) — fast row gather
+        # (cap, ATTR_ROWS) — fast row gather; barrier keeps it row-major
+        # (see pack_padded note on {0,1}-layout gathers)
+        g_e = jax.lax.optimization_barrier(g_rows[pos[:cap]])
 
         # Two-level prefix sums: a single f32 running sum over ~1M entries
         # suffers catastrophic cancellation when a Gaussian's own sum is tiny
