@@ -45,49 +45,106 @@ class ProjectedGaussians(NamedTuple):
     mask: jax.Array  # (N,) bool visibility
 
 
-# Geometry matmuls are tiny (Nx3 by 3x3); run them at full fp32 precision so
-# TPU results stay allclose to the oracle (the MXU default would be bf16).
-_HI = jax.lax.Precision.HIGHEST
+# All geometry here is component-wise (N,) arithmetic — structure-of-arrays
+# style. The obvious batched formulations (einsum "nij,nkj->nik" etc.) lower
+# to (N,3)/(N,3,3) dots whose 3-wide minor dims pad to 128 lanes on TPU
+# (~2.5 ms each in step traces at 131k capacity, ~6 GB/s effective) and
+# whose MXU passes truncate to bf16 unless forced to HIGHEST; plain VPU
+# f32 elementwise ops have neither problem.
+
+
+def _cov3d_components(scales, glob_scale, quats):
+    """Upper-triangular components of R diag(s^2) R^T as six (N,) arrays.
+
+    Same math as the reference's scale_rot_to_cov3d
+    (rasterizer/_torch_impl.py:116-150), unrolled per component.
+    """
+    w, x, y, z = (quats[..., i] for i in range(4))
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = glob_scale * scales[..., 0]
+    s1 = glob_scale * scales[..., 1]
+    s2 = glob_scale * scales[..., 2]
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+    return c00, c01, c02, c11, c12, c22
 
 
 def scale_rot_to_cov3d(scales: jax.Array, glob_scale, quats: jax.Array) -> jax.Array:
     """(N,3) scales, (N,4) normalized wxyz quats -> (N,3,3) covariance."""
-    R = quat_to_rotmat(quats)
-    M = R * (glob_scale * scales)[..., None, :]
-    return jnp.einsum("nij,nkj->nik", M, M, precision=_HI)
+    c00, c01, c02, c11, c12, c22 = _cov3d_components(scales, glob_scale, quats)
+    return jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c01, c11, c12], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
 
 
 def _project_cov3d_ewa(
-    means3d, cov3d, viewmat, fx, fy, tan_fovx, tan_fovy
+    means3d, cov, viewmat, fx, fy, tan_fovx, tan_fovy
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """EWA perspective projection of the 3D covariance.
 
-    Returns (cov2d (N,3) upper-tri [a, b, c], compensation (N,), t (N,3)
-    view-space position).
+    ``cov`` is the 6-tuple of upper-tri components. Returns (cov2d (N,3)
+    upper-tri [a, b, c], compensation (N,), t (N,3) view-space position).
     """
+    c00, c01, c02, c11, c12, c22 = cov
     W = viewmat[..., :3, :3]
     p = viewmat[..., :3, 3]
-    t = jnp.einsum("ni,ji->nj", means3d, W, precision=_HI) + p
+    mx, my, mz = (means3d[..., i] for i in range(3))
+    t0 = W[0, 0] * mx + W[0, 1] * my + W[0, 2] * mz + p[0]
+    t1 = W[1, 0] * mx + W[1, 1] * my + W[1, 2] * mz + p[1]
+    tz = W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + p[2]
+    t = jnp.stack([t0, t1, tz], axis=-1)
 
-    tz = t[..., 2]
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     rz = 1.0 / tz_safe
     lim_x = 1.3 * tan_fovx
     lim_y = 1.3 * tan_fovy
-    tx = tz * jnp.clip(t[..., 0] * rz, -lim_x, lim_x)
-    ty = tz * jnp.clip(t[..., 1] * rz, -lim_y, lim_y)
+    tx = tz * jnp.clip(t0 * rz, -lim_x, lim_x)
+    ty = tz * jnp.clip(t1 * rz, -lim_y, lim_y)
 
     rz2 = rz * rz
     # J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]; T = J @ W (N, 2, 3)
-    T0 = fx * rz[..., None] * W[0] - (fx * tx * rz2)[..., None] * W[2]
-    T1 = fy * rz[..., None] * W[1] - (fy * ty * rz2)[..., None] * W[2]
+    fxr = fx * rz
+    fyr = fy * rz
+    gx = fx * tx * rz2
+    gy = fy * ty * rz2
+    T00 = fxr * W[0, 0] - gx * W[2, 0]
+    T01 = fxr * W[0, 1] - gx * W[2, 1]
+    T02 = fxr * W[0, 2] - gx * W[2, 2]
+    T10 = fyr * W[1, 0] - gy * W[2, 0]
+    T11 = fyr * W[1, 1] - gy * W[2, 1]
+    T12 = fyr * W[1, 2] - gy * W[2, 2]
 
-    def quad(u, v):  # u^T cov3d v for row vectors (N, 3)
-        return jnp.einsum("ni,nij,nj->n", u, cov3d, v, precision=_HI)
+    def quad(u0, u1, u2, v0, v1, v2):  # u^T cov3d v
+        return (
+            c00 * u0 * v0 + c11 * u1 * v1 + c22 * u2 * v2
+            + c01 * (u0 * v1 + u1 * v0)
+            + c02 * (u0 * v2 + u2 * v0)
+            + c12 * (u1 * v2 + u2 * v1)
+        )
 
-    a = quad(T0, T0)
-    b = quad(T0, T1)
-    c = quad(T1, T1)
+    a = quad(T00, T01, T02, T00, T01, T02)
+    b = quad(T00, T01, T02, T10, T11, T12)
+    c = quad(T10, T11, T12, T10, T11, T12)
 
     det_orig = a * c - b * b
     a = a + 0.3
@@ -119,11 +176,14 @@ def project_pix(fullmat: jax.Array, means3d: jax.Array, img_wh, center) -> jax.A
     Matches reference helpers.cuh:114-122 / _torch_impl.py:233-244:
     u = 0.5*W*ndc_x - 0.5 + cx with homogeneous eps 1e-6.
     """
-    ph = jnp.einsum("ni,ji->nj", means3d, fullmat[:3, :3], precision=_HI) + fullmat[:3, 3]
-    pw = jnp.einsum("ni,i->n", means3d, fullmat[3, :3], precision=_HI) + fullmat[3, 3]
+    mx, my, mz = (means3d[..., i] for i in range(3))
+    F = fullmat
+    ph0 = F[0, 0] * mx + F[0, 1] * my + F[0, 2] * mz + F[0, 3]
+    ph1 = F[1, 0] * mx + F[1, 1] * my + F[1, 2] * mz + F[1, 3]
+    pw = F[3, 0] * mx + F[3, 1] * my + F[3, 2] * mz + F[3, 3]
     rw = 1.0 / (pw + 1e-6)
-    u = 0.5 * img_wh[0] * ph[..., 0] * rw - 0.5 + center[0]
-    v = 0.5 * img_wh[1] * ph[..., 1] * rw - 0.5 + center[1]
+    u = 0.5 * img_wh[0] * ph0 * rw - 0.5 + center[0]
+    v = 0.5 * img_wh[1] * ph1 * rw - 0.5 + center[1]
     return jnp.stack([u, v], axis=-1)
 
 
@@ -183,9 +243,9 @@ def project_gaussians(
     tan_fovx = 0.5 * img_width / fx
     tan_fovy = 0.5 * img_height / fy
 
-    cov3d_full = scale_rot_to_cov3d(scales, glob_scale, quats)
+    cov = _cov3d_components(scales, glob_scale, quats)
     cov2d, compensation, t = _project_cov3d_ewa(
-        means3d, cov3d_full, viewmat, fx, fy, tan_fovx, tan_fovy
+        means3d, cov, viewmat, fx, fy, tan_fovx, tan_fovy
     )
     conic, radius_f, det_valid = _cov2d_bounds(cov2d)
     xys = project_pix(fullmat, means3d, (img_width, img_height), (cx, cy))
@@ -201,15 +261,7 @@ def project_gaussians(
         mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)), x, 0
     )
     tri = jnp.stack(
-        [
-            cov3d_full[..., 0, 0],
-            cov3d_full[..., 0, 1],
-            cov3d_full[..., 0, 2],
-            cov3d_full[..., 1, 1],
-            cov3d_full[..., 1, 2],
-            cov3d_full[..., 2, 2],
-        ],
-        axis=-1,
+        [cov[0], cov[1], cov[2], cov[3], cov[4], cov[5]], axis=-1
     )
     return ProjectedGaussians(
         cov3d=zero_if_masked(tri),

@@ -605,6 +605,12 @@ def rasterize(
         config.isect_capacity,
     )
     backend = _resolve_backend(config)
+    if colors.shape[-1] > 7 and backend in ("pallas", "pallas_interpret"):
+        # The packed kernel layout holds at most 7 channels (OUT_ROWS - 1
+        # for final_t; 6 + ch attribute rows before gid/eidx). Wide
+        # ND-channel renders route to the portable path, the analog of the
+        # reference's 3-ch vs ND kernel switch (rasterize.py:145-148).
+        backend = "jax"
     if backend in ("pallas", "pallas_interpret"):
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],

@@ -178,3 +178,39 @@ def test_align_mono_depth(tmp_path, rng):
     for im_id in scales:
         np.testing.assert_allclose(scales[im_id], m_true / 255.0, rtol=5e-2)
         np.testing.assert_allclose(shifts[im_id], c_true / 255.0, rtol=2e-1)
+
+
+def test_aria_pose_math():
+    """Aria conversion core: nearest-pose lookup + axis-flip composition."""
+    from gstk_tpu.process_data.aria import (
+        AriaCalibration,
+        T_ARIA_GSTK,
+        camera_to_world,
+        frames_to_transforms,
+        nearest_pose_index,
+    )
+
+    ts = np.array([0.0, 1e9, 2e9, 3e9])
+    assert nearest_pose_index(ts, 1.4e9) == 1
+    assert nearest_pose_index(ts, 2.6e9) == 3
+
+    # identity device pose + identity extrinsic -> pure axis flip
+    twc = camera_to_world(np.eye(4), np.eye(4))
+    np.testing.assert_allclose(twc, T_ARIA_GSTK)
+    # flipping twice restores handedness; still SE3
+    np.testing.assert_allclose(twc[:3, :3] @ twc[:3, :3].T, np.eye(3), atol=1e-12)
+    assert abs(np.linalg.det(twc[:3, :3]) - 1.0) < 1e-12
+
+    calib = AriaCalibration(
+        fx=610.0, fy=610.0, cx=716.0, cy=716.0,
+        distortion_params=np.zeros(12), width=1408, height=1408,
+        t_device_camera=np.eye(4),
+    )
+    out = frames_to_transforms(
+        calib,
+        [{"file_path": "images/frame_00000.jpg", "t_world_camera": twc,
+          "timestamp_ns": 0.0}],
+    )
+    assert out["camera_model"] == "FISHEYE624"
+    assert out["w"] == 1408 and len(out["frames"]) == 1
+    assert np.asarray(out["frames"][0]["transform_matrix"]).shape == (4, 4)

@@ -213,3 +213,31 @@ def test_grads_chunk_invariant(rng):
         gs.append(jax.grad(loss, argnums=(0, 1, 2, 3))(*args))
     for a, b in zip(gs[0], gs[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_nd_channels_fall_back_to_jax_path(rng):
+    """>7-channel rasterization (the reference's ND kernel path,
+    rasterize.py:145-148) routes to the portable compositing loop even when
+    the pallas backend is requested."""
+    import jax
+
+
+    cam = make_camera(img_w=48, img_h=32)
+    means, scales, quats, _, opac = make_gaussians(rng, n=60)
+    colors = rng.uniform(0, 1, (60, 10)).astype(np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
+        jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"], 32, 48,
+    )
+    cfg = RasterizeConfig(
+        chunk_size=16, isect_capacity=1 << 12, backend="pallas_interpret"
+    )
+    img, alpha = rasterize(
+        proj.xys, proj.depths, proj.radii, proj.conics, proj.num_tiles_hit,
+        jnp.asarray(colors), jax.nn.sigmoid(jnp.zeros(60) + 2.0), 32, 48,
+        config=cfg,
+    )
+    assert img.shape == (32, 48, 10)
+    assert np.all(np.isfinite(np.asarray(img)))
+    assert float(jnp.max(alpha)) > 0.1
