@@ -51,7 +51,7 @@ def _bf16_split(x, terms: int):
     return parts
 
 
-def _mxu_dot(a, b, dims, a_exact=False, b_exact=False):
+def _mxu_dot(a, b, dims, a_exact=False, b_exact=False, terms=3):
     """f32 dot via bf16 multi-pass splitting on the MXU.
 
     TPU DEFAULT-precision f32 dots truncate inputs to bf16 (which broke
@@ -78,13 +78,13 @@ def _mxu_dot(a, b, dims, a_exact=False, b_exact=False):
     if a_exact and b_exact:
         return d(a, b)
     if a_exact:
-        parts = _bf16_split(b, 3)
+        parts = _bf16_split(b, terms)
         out = d(a, parts[0])
         for p in parts[1:]:
             out = out + d(a, p)
         return out
     if b_exact:
-        parts = _bf16_split(a, 3)
+        parts = _bf16_split(a, terms)
         out = d(parts[0], b)
         for p in parts[1:]:
             out = out + d(p, b)
@@ -155,15 +155,20 @@ def _chunk_alpha(chunk, basis, ox, oy, off, end):
     return a_eff, logm, valid, (x, y, ca, cb, cc, op, raw, alpha)
 
 
-def _cumsum_lanes(x):
+def _cumsum_lanes(x, exact=False, terms=3):
     """Inclusive cumsum along the lane axis (axis=1) via a lower-triangular
     ones matmul on the MXU — Pallas TPU has no cumsum lowering, and a
-    (P,K)x(K,K) contraction is effectively free next to the alpha math."""
+    (P,K)x(K,K) contraction is effectively free next to the alpha math.
+    ``exact`` marks x itself bf16-exact (e.g. 0/1 break events): one MXU
+    pass. ``terms=2`` (~2^-16) suits threshold-free summands."""
     k = x.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     tri = (row <= col).astype(jnp.float32)
-    return _mxu_dot(x, tri, (((1,), (0,)), ((), ())), b_exact=True)
+    return _mxu_dot(
+        x, tri, (((1,), (0,)), ((), ())), a_exact=exact, b_exact=True,
+        terms=terms,
+    )
 
 
 def _keep(t_run, dead, a_eff, logm, valid):
@@ -178,7 +183,7 @@ def _keep(t_run, dead, a_eff, logm, valid):
     break_here = jnp.where(
         valid & (t_run * jnp.exp(cs) <= _T_CUTOFF), 1.0, 0.0
     )
-    dead_incl = jnp.maximum(dead, _cumsum_lanes(break_here))
+    dead_incl = jnp.maximum(dead, _cumsum_lanes(break_here, exact=True))
     keep = valid & (dead_incl < 0.5)
     a_k = jnp.where(keep, a_eff, 0.0)
     log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
@@ -347,7 +352,8 @@ def _bwd_kernel(
         g_dot_col = _mxu_dot(
             g_img, colors, (((0,), (0,)), ((), ()))
         )  # (P, K)
-        g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col)
+        # threshold-free (pure gradient magnitude): 2 passes suffice
+        g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col, terms=2)
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
         v_alpha = (
             t_prev * g_dot_col
