@@ -329,19 +329,40 @@ def _bwd_kernel(
     n_chunks = (end - start + CHUNK - 1) // CHUNK
     inv_floor = 1.0 - _ALPHA_CLAMP
 
+    # Double-buffered read + write streams: chunk i+1's read overlaps chunk
+    # i's math, and each gradient write drains while the next two chunks
+    # compute (waited only when its buffer is about to be reused).
+    def start_read(i, slot):
+        pltpu.make_async_copy(
+            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
+            sem.at[slot],
+        ).start()
+
+    def wait_write(i, slot):
+        pltpu.make_async_copy(
+            gtile_vmem.at[slot], gout_ref.at[(start + i * CHUNK) // CHUNK],
+            wsem.at[slot],
+        ).wait()
+
     def cond(c):
         i, _, dead, _ = c
         return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
 
+    @pl.when(n_chunks > 0)
+    def _():
+        start_read(0, 0)
+
     def body(c):
         i, t_run, dead, g_prefix = c
+        slot = jax.lax.rem(i, 2)
+        nxt = jnp.minimum(i + 1, n_chunks - 1)
+        start_read(nxt, 1 - slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
-        dma = pltpu.make_async_copy(
-            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem, sem
-        )
-        dma.start()
-        dma.wait()
-        chunk = chunk_vmem[...]
+        pltpu.make_async_copy(
+            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
+            sem.at[slot],
+        ).wait()
+        chunk = chunk_vmem[slot]
         a_eff, logm, valid, extras = _chunk_alpha(chunk, basis, ox, oy, off, end)
         x, y, ca, cb, cc, op, raw, alpha = extras
         a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
@@ -393,16 +414,19 @@ def _bwd_kernel(
         g_cc = 0.5 * s_dy2
         g_op = -m0 / jnp.maximum(op, 1e-12)
 
-        gtile_vmem[...] = jnp.concatenate(
+        # reuse of this write buffer: wait for the write issued 2 chunks ago
+        @pl.when(i >= 2)
+        def _():
+            wait_write(i - 2, slot)
+        gtile_vmem[slot] = jnp.concatenate(
             [g_x, g_y, g_ca, g_cb, g_cc, g_op, g_colors,
              jnp.zeros((ATTR_ROWS - 6 - ch, CHUNK), jnp.float32)],
             axis=0,
         )  # (ATTR_ROWS, K)
-        wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[(start + i * CHUNK) // CHUNK], wsem
-        )
-        wdma.start()
-        wdma.wait()
+        pltpu.make_async_copy(
+            gtile_vmem.at[slot], gout_ref.at[(start + i * CHUNK) // CHUNK],
+            wsem.at[slot],
+        ).start()
 
         g_prefix = g_prefix + jnp.sum(w * g_dot_col, axis=1, keepdims=True)
         return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
@@ -414,15 +438,34 @@ def _bwd_kernel(
         cond, body, (jnp.int32(0), t0, dead0, gp0)
     )
 
+    # drain: the outstanding read prefetch and the last (up to) two writes
+    @pl.when(n_chunks > 0)
+    def _():
+        rslot = jax.lax.rem(i_done, 2)
+        last = jnp.minimum(i_done, n_chunks - 1)
+        pltpu.make_async_copy(
+            attr_ref.at[(start + last * CHUNK) // CHUNK],
+            chunk_vmem.at[rslot], sem.at[rslot],
+        ).wait()
+
+    @pl.when(i_done >= 1)
+    def _():
+        wait_write(i_done - 1, jax.lax.rem(i_done - 1, 2))
+
+    @pl.when(i_done >= 2)
+    def _():
+        wait_write(i_done - 2, jax.lax.rem(i_done - 2, 2))
+
     # zero-fill the tile's remaining (early-exited) blocks so the
     # segment-sum never reads garbage
     def zcond(i):
         return i < n_chunks
 
     def zbody(i):
-        gtile_vmem[...] = jnp.zeros(gtile_vmem.shape, jnp.float32)
+        gtile_vmem[0] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
         wdma = pltpu.make_async_copy(
-            gtile_vmem, gout_ref.at[(start + i * CHUNK) // CHUNK], wsem
+            gtile_vmem.at[0], gout_ref.at[(start + i * CHUNK) // CHUNK],
+            wsem.at[0],
         )
         wdma.start()
         wdma.wait()
@@ -467,10 +510,10 @@ def composite_tiles_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
