@@ -91,6 +91,7 @@ def make_train_step(
     axis_name: Optional[str] = None,
     frozen_groups: tuple = (),
     camera_opt: Optional["CameraOptConfig"] = None,
+    micro_batch: int = 1,
 ):
     """Build the step function for a static (image size, sh degree) config.
 
@@ -109,6 +110,14 @@ def make_train_step(
     the L2 pose penalty joins the loss, and the adjustments get their own
     exp-decayed Adam group (reference camera_optimizers.py:22-150,
     method_configs.py:75-80).
+
+    ``micro_batch`` > 1 is the TPU-native form of the reference's per-group
+    gradient accumulation (trainer.py:486-505: grads summed over N
+    iterations, one optimizer step): camera/gt/key (and mask/depth/
+    camera_index when used) gain a leading ``micro_batch`` dim, a
+    ``lax.scan`` sums gradients and densify statistics over the
+    micro-steps inside the one compiled step, and Adam applies once to the
+    summed gradient — same semantics, no cross-step gradient state.
     """
     from gstk_tpu.core.camera_opt import (
         CameraOptConfig,
@@ -138,23 +147,10 @@ def make_train_step(
     )
     max_img_size = max(img_height, img_width)
 
-    def train_step(
-        state: TrainState,
-        camera: Camera,
-        gt_image: jax.Array,
-        key: jax.Array,
-        mask: Optional[jax.Array] = None,
-        depth: Optional[jax.Array] = None,
-        mono_scale: Optional[jax.Array] = None,
-        mono_shift: Optional[jax.Array] = None,
-        camera_index: Optional[jax.Array] = None,
-    ) -> Tuple[TrainState, dict]:
-        kbg, kdepth = jax.random.split(key)
-        background = _background(kbg, model_cfg.background_color)
-        gt = composite_gt_with_background(gt_image, background)
-        params = state.scene.params()
-        xys_zero = jnp.zeros((state.scene.capacity, 2), jnp.float32)
-
+    def _make_loss_fn(
+        state, camera, gt, background, kdepth, mask, depth, mono_scale,
+        mono_shift, camera_index,
+    ):
         def loss_fn(p, xys_off, cam_adj):
             scn = state.scene.with_params(p)
             cam = camera
@@ -183,12 +179,44 @@ def make_train_step(
             total = sum(ld.values())
             return total, (out, ld)
 
+        return loss_fn
+
+    def _grads_once(state, camera, gt_image, key, mask, depth, mono_scale,
+                    mono_shift, camera_index, params, xys_zero, cam_in):
+        """Forward+backward for one camera; returns (loss, out, ld, grads,
+        g_xys, cam_grad, gt)."""
+        kbg, kdepth = jax.random.split(key)
+        background = _background(kbg, model_cfg.background_color)
+        gt = composite_gt_with_background(gt_image, background)
+        loss_fn = _make_loss_fn(
+            state, camera, gt, background, kdepth, mask, depth, mono_scale,
+            mono_shift, camera_index,
+        )
         argnums = (0, 1, 2) if use_cam_opt else (0, 1)
-        cam_in = state.cam_adjust if use_cam_opt else None
         (loss, (out, ld)), all_grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True
         )(params, xys_zero, cam_in)
-        grads, g_xys = all_grads[0], all_grads[1]
+        cam_grad = all_grads[2] if use_cam_opt else None
+        return loss, out, ld, all_grads[0], all_grads[1], cam_grad, gt
+
+    def train_step(
+        state: TrainState,
+        camera: Camera,
+        gt_image: jax.Array,
+        key: jax.Array,
+        mask: Optional[jax.Array] = None,
+        depth: Optional[jax.Array] = None,
+        mono_scale: Optional[jax.Array] = None,
+        mono_shift: Optional[jax.Array] = None,
+        camera_index: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, dict]:
+        params = state.scene.params()
+        xys_zero = jnp.zeros((state.scene.capacity, 2), jnp.float32)
+        cam_in = state.cam_adjust if use_cam_opt else None
+        loss, out, ld, grads, g_xys, cam_grad, gt = _grads_once(
+            state, camera, gt_image, key, mask, depth, mono_scale,
+            mono_shift, camera_index, params, xys_zero, cam_in,
+        )
 
         grads = jax.tree.map(maybe_pmean, grads)
         if frozen_groups:
@@ -204,7 +232,7 @@ def make_train_step(
         if use_cam_opt:
             cam_upd, new_cam_adam = adam_step(
                 {"camera_opt": state.cam_adjust},
-                {"camera_opt": maybe_pmean(all_grads[2])},
+                {"camera_opt": maybe_pmean(cam_grad)},
                 state.cam_adam, state.step, cam_optim_cfg,
             )
             new_cam_adjust = cam_upd["camera_opt"]
@@ -249,4 +277,127 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    if micro_batch == 1:
+        return train_step
+
+    def micro_train_step(
+        state: TrainState,
+        cameras: Camera,  # leading dim micro_batch on every field
+        gt_images: jax.Array,  # (micro_batch, H, W, 3|4)
+        key: jax.Array,
+        masks: Optional[jax.Array] = None,
+        depths: Optional[jax.Array] = None,
+        mono_scales: Optional[jax.Array] = None,
+        mono_shifts: Optional[jax.Array] = None,
+        camera_indices: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, dict]:
+        params = state.scene.params()
+        xys_zero = jnp.zeros((state.scene.capacity, 2), jnp.float32)
+        cam_in = state.cam_adjust if use_cam_opt else None
+
+        xs = {
+            "camera": cameras,
+            "gt": gt_images,
+            "key": jax.random.split(key, micro_batch),
+        }
+        if masks is not None:
+            xs["mask"] = masks
+        if depths is not None:
+            xs["depth"] = depths
+        if mono_scales is not None:
+            xs["mono_scale"] = mono_scales
+        if mono_shifts is not None:
+            xs["mono_shift"] = mono_shifts
+        if camera_indices is not None:
+            xs["camera_index"] = camera_indices
+
+        def body(carry, x):
+            gsum, csum, gx_sum, vis_sum, rad_max = carry
+            loss, out, ld, grads, g_xys, cam_grad, gt = _grads_once(
+                state, x["camera"], x["gt"], x["key"],
+                x.get("mask"), x.get("depth"), x.get("mono_scale"),
+                x.get("mono_shift"), x.get("camera_index"),
+                params, xys_zero, cam_in,
+            )
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            if use_cam_opt:
+                csum = csum + cam_grad
+            gx_sum = gx_sum + maybe_psum(jnp.linalg.norm(g_xys, axis=-1))
+            vis_sum = vis_sum + maybe_psum(
+                (out["radii"] > 0).astype(jnp.int32)
+            ).astype(jnp.float32)
+            rad_max = jnp.maximum(
+                rad_max, maybe_pmax(out["radii"]).astype(jnp.float32)
+            )
+            mse = jnp.mean((out["rgb"] - gt[..., :3]) ** 2)
+            ys = {
+                "loss": loss,
+                "main_loss": ld["main_loss"],
+                "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
+                "num_intersects": out["num_intersects"],
+            }
+            return (gsum, csum, gx_sum, vis_sum, rad_max), ys
+
+        cap = state.scene.capacity
+        carry0 = (
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros_like(state.cam_adjust) if use_cam_opt else jnp.zeros(()),
+            jnp.zeros((cap,), jnp.float32),
+            jnp.zeros((cap,), jnp.float32),
+            jnp.zeros((cap,), jnp.float32),
+        )
+        (gsum, csum, gx_sum, vis_sum, rad_max), ys = jax.lax.scan(
+            body, carry0, xs
+        )
+
+        grads = jax.tree.map(maybe_pmean, gsum)
+        if frozen_groups:
+            grads = {
+                k: (jnp.zeros_like(v) if k in frozen_groups else v)
+                for k, v in grads.items()
+            }
+        new_params, new_adam = adam_step(
+            params, grads, state.adam, state.step, optim_cfg,
+            update_mask=state.scene.alive,
+        )
+        new_cam_adjust, new_cam_adam = state.cam_adjust, state.cam_adam
+        if use_cam_opt:
+            cam_upd, new_cam_adam = adam_step(
+                {"camera_opt": state.cam_adjust},
+                {"camera_opt": maybe_pmean(csum)},
+                state.cam_adam, state.step, cam_optim_cfg,
+            )
+            new_cam_adjust = cam_upd["camera_opt"]
+
+        refine = RefineState(
+            xys_grad_norm=state.refine.xys_grad_norm + gx_sum,
+            vis_counts=state.refine.vis_counts + vis_sum,
+            max_2dsize=jnp.maximum(
+                state.refine.max_2dsize, rad_max / max_img_size
+            ),
+        )
+        metrics = {
+            "loss": maybe_pmean(jnp.mean(ys["loss"])),
+            "main_loss": maybe_pmean(jnp.mean(ys["main_loss"])),
+            "psnr": maybe_pmean(jnp.mean(ys["psnr"])),
+            "num_alive": state.scene.num_alive,
+            "num_intersects": maybe_pmax(jnp.max(ys["num_intersects"])),
+        }
+        if use_cam_opt:
+            metrics["camera_opt_translation"] = jnp.mean(
+                jnp.linalg.norm(new_cam_adjust[:, :3], axis=-1)
+            )
+            metrics["camera_opt_rotation"] = jnp.mean(
+                jnp.linalg.norm(new_cam_adjust[:, 3:], axis=-1)
+            )
+        new_state = TrainState(
+            scene=state.scene.with_params(new_params),
+            adam=new_adam,
+            refine=refine,
+            step=state.step + 1,
+            cam_adjust=new_cam_adjust,
+            cam_adam=new_cam_adam,
+        )
+        return new_state, metrics
+
+    return micro_train_step

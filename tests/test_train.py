@@ -235,3 +235,77 @@ def test_refine_respects_warmup(rng):
         scene, adam, rs, jnp.int32(150), jax.random.PRNGKey(0), cfg, 4, max(H, W)
     )
     assert int(new_scene.num_alive) == n0  # nothing happens during warmup
+
+
+def test_micro_batch_accumulates_gradients(rng):
+    """micro_batch=N is the reference's gradient accumulation
+    (trainer.py:486-505): gradients sum over N cameras, Adam applies once.
+    With a deterministic background the summed-gradient step must equal the
+    explicit sum of per-camera gradients."""
+    gt_scene = _gt_scene(rng)
+    cams = _cameras(2)
+    cfg = VanillaConfig(background_color="black", sh_degree=0)
+    gt_imgs = [
+        render_scene(
+            gt_scene, c, H, W, sh_degree=0, config=cfg,
+            background=jnp.zeros(3), raster_config=RASTER,
+        )["rgb"]
+        for c in cams
+    ]
+    start = gt_scene._replace(
+        features_dc=gt_scene.features_dc
+        + jnp.asarray(rng.normal(0, 1.0, gt_scene.features_dc.shape), jnp.float32),
+    )
+
+    micro_fn = jax.jit(
+        make_train_step(
+            cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0, micro_batch=2
+        )
+    )
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    gts = jnp.stack(gt_imgs)
+    key = jax.random.PRNGKey(0)
+    state0 = init_train_state(start)
+    state1, metrics = micro_fn(state0, cameras, gts, key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state1.step) == 1
+    # the parameters moved, and identically to a manual summed-grad Adam step
+    from gstk_tpu.models.vanilla import composite_gt_with_background, rgb_loss
+    from gstk_tpu.train.optim import adam_step
+
+    params = state0.scene.params()
+
+    def loss_for(p, cam, gt):
+        scn = state0.scene.with_params(p)
+        out = render_scene(
+            scn, cam, H, W, sh_degree=0, config=cfg,
+            background=jnp.zeros(3), raster_config=RASTER,
+        )
+        ld = rgb_loss(out["rgb"], gt, scn, cfg, None, False)
+        return sum(ld.values())
+
+    g0 = jax.grad(loss_for)(params, cams[0], gt_imgs[0])
+    g1 = jax.grad(loss_for)(params, cams[1], gt_imgs[1])
+    gsum = jax.tree.map(jnp.add, g0, g1)
+    ref_params, _ = adam_step(
+        params, gsum, state0.adam, state0.step, OptimizerConfig(),
+        update_mask=state0.scene.alive,
+    )
+    for k in params:
+        if gsum[k].size == 0 or float(jnp.max(jnp.abs(gsum[k]))) < 1e-6:
+            # noise-level gradients (e.g. quats in this isotropic scene):
+            # Adam normalizes noise into full-size updates, so the params
+            # aren't comparable across compilation variants
+            continue
+        np.testing.assert_allclose(
+            np.asarray(state1.scene.params()[k]), np.asarray(ref_params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+    # and training with micro-batching improves psnr
+    state = state1
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = micro_fn(state, cameras, gts, k)
+    assert float(metrics["psnr"]) > 20.0
