@@ -67,6 +67,25 @@ def _cumsum_1d(x: jax.Array) -> jax.Array:
     return jnp.concatenate([head_cs, tail_cs])
 
 
+def _segment_constant(values, boundaries, length: int):
+    """Evaluate a piecewise-constant function at every index in
+    [0, length): value[i] for indices in [boundaries[i-1], boundaries[i]).
+
+    Built from a T-element difference scatter + one hierarchical cumsum —
+    both ~free — instead of a per-index table gather (TPU gathers cost
+    ~8 ns/row at 1M+ indices, and even packed row-table gathers pay a
+    further ~2 ms relayout extracting 1-D columns from (N,8) rows).
+    Integer dtypes telescope exactly (including deliberate mod-2^32 wrap);
+    for f32 values pass their ``.view(int32)`` bit patterns through and
+    re-view, which is exact, rather than summing float differences.
+    """
+    diffs = values[1:] - values[:-1]
+    buf = jnp.zeros((length + 1,), values.dtype).at[boundaries[:-1]].add(
+        diffs, mode="drop"
+    )
+    return values[0] + _cumsum_1d(buf[:-1])
+
+
 def bin_gaussians(
     xys: jax.Array,
     depths: jax.Array,
@@ -100,35 +119,46 @@ def bin_gaussians(
     is_real = gid < n
     gid_c = jnp.minimum(gid, max(n - 1, 0))
 
-    # All per-gaussian values needed by the expansion, packed into one (N, 8)
-    # row table gathered ONCE: 2-D row gathers run ~4x faster per row than
-    # 1-D T(1024)-layout gathers on TPU (see docs/PERFORMANCE.md). Values are
-    # small ints/depths — exact in f32.
+    # Per-gaussian values broadcast to slots: gid is monotone, so every
+    # per-slot quantity is piecewise-constant over [cum_excl, cum) segments
+    # — a diff-scatter + hierarchical cumsum per column (_segment_constant)
+    # beats both 1-D gathers (~8 ns/row) and a packed (N,8) row-table
+    # gather (whose 1-D column extraction alone relayouts for ~2 ms at 1M
+    # slots). Integer columns telescope exactly; depth rides its i32 bit
+    # pattern (exact mod-2^32 telescoping), not float differences.
     tile_min, tile_max = tile_bbox(
         xys, radii.astype(jnp.float32), tile_bounds, block_width
     )
     bbox_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
-    table = jnp.stack(
-        [
-            cum_excl.astype(jnp.float32),
-            tile_min[:, 0].astype(jnp.float32),
-            tile_min[:, 1].astype(jnp.float32),
-            bbox_w.astype(jnp.float32),
-            depths.astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=1,
-    )  # (N, 8)
-    rows = table[gid_c]  # (capacity, 8)
-    pos = jnp.arange(capacity, dtype=jnp.int32) - rows[:, 0].astype(jnp.int32)
-    bw_i = rows[:, 3].astype(jnp.int32)
-    tx = rows[:, 1].astype(jnp.int32) + pos % bw_i
-    ty = rows[:, 2].astype(jnp.int32) + pos // bw_i
+    seg = lambda v: _segment_constant(v, cum, capacity)
+    pos = jnp.arange(capacity, dtype=jnp.int32) - seg(cum_excl)
+    tminx_s = seg(tile_min[:, 0])
+    tminy_s = seg(tile_min[:, 1])
+    bw_i = seg(bbox_w)
+    depth_s = jax.lax.bitcast_convert_type(
+        seg(
+            jax.lax.bitcast_convert_type(
+                depths.astype(jnp.float32), jnp.int32
+            )
+        ),
+        jnp.float32,
+    )
+    # div/mod by a *variable* divisor has no TPU vector lowering (XLA
+    # emulates it ~serially; ~2.2 ms at 1M lanes in step traces). pos is a
+    # within-bbox offset (< bbox area) and bw a tile-bbox width — both far
+    # inside f32's exact-integer range — so one f32 divide plus an exact
+    # integer fixup replaces it.
+    q = jnp.floor(
+        pos.astype(jnp.float32) / jnp.maximum(bw_i.astype(jnp.float32), 1.0)
+    ).astype(jnp.int32)
+    r = pos - q * bw_i
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= bw_i, q + 1, q))
+    r = jnp.where(r < 0, r + bw_i, jnp.where(r >= bw_i, r - bw_i, r))
+    tx = tminx_s + r
+    ty = tminy_s + q
     tile_id = jnp.where(is_real, ty * tile_bounds[0] + tx, num_tiles)
 
-    depth_key = jnp.where(is_real, rows[:, 4], jnp.inf)
+    depth_key = jnp.where(is_real, depth_s, jnp.inf)
     eidx = jnp.arange(capacity, dtype=jnp.int32)
     sorted_tile, _, sorted_gid, sorted_eidx = jax.lax.sort(
         (tile_id, depth_key, gid, eidx), num_keys=2

@@ -282,20 +282,7 @@ def _composite_bwd_loop(
     return g_xy, g_conic, g_color, g_opac[..., 0]
 
 
-def _segment_constant(values, boundaries, length: int):
-    """Evaluate a piecewise-constant int function at every index in
-    [0, length): value[i] for indices in [boundaries[i-1], boundaries[i]).
-
-    Built from a T-element difference scatter + one hierarchical cumsum —
-    both ~free — instead of a per-index table gather (TPU gathers cost
-    ~8 ns/row: ~11 ms at 1.4M indices regardless of row width)."""
-    from gstk_tpu.ops.binning import _cumsum_1d
-
-    diffs = values[1:] - values[:-1]
-    buf = jnp.zeros((length + 1,), values.dtype).at[boundaries[:-1]].add(
-        diffs, mode="drop"
-    )
-    return values[0] + _cumsum_1d(buf[:-1])
+from gstk_tpu.ops.binning import _segment_constant  # noqa: E402 (shared)
 
 
 def _make_composite_pallas(
