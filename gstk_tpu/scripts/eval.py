@@ -17,9 +17,26 @@ from pathlib import Path
 import numpy as np
 
 
-def compute_lpips(pairs):
-    """Optional LPIPS (AlexNet/VGG features); returns None if weights are
-    unavailable in this environment (zero-egress)."""
+def compute_lpips(pairs, weights_path=None):
+    """Optional LPIPS. With ``weights_path`` (or $GSTK_LPIPS_WEIGHTS), the
+    proper TPU-jittable LPIPS (utils/lpips.py, VGG + learned heads) runs on
+    device; otherwise falls back to a torchvision-feature proxy, or None
+    when no weights exist in the environment (zero-egress)."""
+    import os
+
+    weights_path = weights_path or os.environ.get("GSTK_LPIPS_WEIGHTS")
+    if weights_path:
+        import jax
+        import jax.numpy as jnp
+
+        from gstk_tpu.utils.lpips import load_lpips_params, lpips
+
+        params = load_lpips_params(weights_path)
+        fn = jax.jit(lpips)
+        return float(np.mean([
+            float(fn(params, jnp.asarray(gt), jnp.asarray(pred)))
+            for gt, pred in pairs
+        ]))
     try:
         import torch
         from torchvision.models import vgg16
@@ -57,6 +74,8 @@ def main(argv=None) -> None:
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("eval.json"))
     parser.add_argument("--skip-lpips", action="store_true")
+    parser.add_argument("--lpips-weights", type=Path, default=None,
+                        help="npz with VGG16+LPIPS weights (utils/lpips.py)")
     args = parser.parse_args(argv)
 
     config = load_config(args.load_config)
@@ -81,7 +100,10 @@ def main(argv=None) -> None:
         n_rays += h * w
     dt = time.perf_counter() - t0
 
-    lpips = None if args.skip_lpips else compute_lpips(pairs)
+    lpips = (
+        None if args.skip_lpips
+        else compute_lpips(pairs, weights_path=args.lpips_weights)
+    )
     results = {
         "experiment_name": config.experiment_name,
         "method_name": config.method_name,

@@ -96,6 +96,10 @@ class ViewerServer:
         self.stats = {}
         self.width = width
         self.height = height
+        # keyframe trajectory editor state (the functional core of the
+        # reference's render panel, viewer/render_panel.py:1-1247: collect
+        # keyframes, interpolate, emit a camera_path json for gs-render)
+        self.keyframes = []
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -133,9 +137,73 @@ class ViewerServer:
                     self.send_header("Content-Type", "image/jpeg")
                     self.end_headers()
                     self.wfile.write(body)
+                elif parsed.path == "/keyframe/add":
+                    # record the current orbit pose as a trajectory keyframe
+                    q = {k: float(v[0]) for k, v in
+                         parse_qs(parsed.query).items()}
+                    c2w = orbit_pose(
+                        q.get("az", 0.0), q.get("el", 0.3), q.get("r", 3.0),
+                        (q.get("cx", 0.0), q.get("cy", 0.0), q.get("cz", 0.0)),
+                    )
+                    outer.keyframes.append(np.asarray(c2w, np.float32))
+                    self._json({"num_keyframes": len(outer.keyframes)})
+                elif parsed.path == "/keyframe/clear":
+                    outer.keyframes.clear()
+                    self._json({"num_keyframes": 0})
+                elif parsed.path == "/keyframes":
+                    self._json(
+                        {"keyframes": [k.tolist() for k in outer.keyframes]}
+                    )
+                elif parsed.path == "/trajectory":
+                    # interpolated camera_path json (consumable by
+                    # `gs-render trajectory`), like the reference render
+                    # panel's export button
+                    from gstk_tpu.core.trajectories import (
+                        interpolate_poses,
+                        poses_to_camera_path,
+                    )
+
+                    q = {k: float(v[0]) for k, v in
+                         parse_qs(parsed.query).items()}
+                    if len(outer.keyframes) < 2:
+                        self.send_response(400)
+                        self.end_headers()
+                        self.wfile.write(b"need >= 2 keyframes")
+                        return
+                    poses = interpolate_poses(
+                        outer.keyframes,
+                        steps_per_segment=int(q.get("steps", 30)),
+                    )
+                    self._json(poses_to_camera_path(
+                        poses,
+                        fov_deg=q.get("fov", 70.0),
+                        render_height=int(q.get("h", 1080)),
+                        render_width=int(q.get("w", 1920)),
+                        fps=q.get("fps", 30.0),
+                    ))
                 else:
                     self.send_response(404)
                     self.end_headers()
+
+            def do_POST(self):
+                # raw keyframe upload: JSON body {"c2w": [[...3x4 or 4x4]]}
+                parsed = urlparse(self.path)
+                if parsed.path == "/keyframe/add":
+                    n = int(self.headers.get("Content-Length", 0))
+                    data = json.loads(self.rfile.read(n) or b"{}")
+                    c2w = np.asarray(data["c2w"], np.float32)[:3, :4]
+                    outer.keyframes.append(c2w)
+                    self._json({"num_keyframes": len(outer.keyframes)})
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def _json(self, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]

@@ -71,3 +71,47 @@ def test_pearson_perfect_correlation(rng):
 
 def test_tv_flat_is_zero():
     assert float(losses.total_variation(jnp.ones((8, 8)))) == 0.0
+
+
+def test_lpips_structure(rng):
+    """LPIPS flow: identity -> 0, grows with perturbation, jittable."""
+    import jax
+
+    from gstk_tpu.utils.lpips import lpips, random_lpips_params
+
+    params = random_lpips_params(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    fn = jax.jit(lpips)
+    assert float(fn(params, img, img)) == 0.0
+    small = float(fn(params, img, jnp.clip(img + 0.01, 0, 1)))
+    big = float(fn(params, img, jnp.clip(img + 0.2, 0, 1)))
+    assert 0 < small < big
+
+
+def test_lpips_torch_param_conversion():
+    """params_from_torch maps torchvision-style state dicts to the npz
+    layout (shapes only; real weights are user-supplied)."""
+    from gstk_tpu.utils.lpips import (
+        _TAPS,
+        _VGG_PLAN,
+        params_from_torch,
+    )
+
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg_state = {}
+    c_in = 3
+    for i, (c_out, _) in enumerate(_VGG_PLAN):
+        k = str(conv_ids[i])
+        vgg_state[f"{k}.weight"] = np.zeros((c_out, c_in, 3, 3), np.float32)
+        vgg_state[f"{k}.bias"] = np.zeros((c_out,), np.float32)
+        c_in = c_out
+    lpips_state = {
+        f"lin{j}.model.1.weight": np.ones(
+            (1, _VGG_PLAN[t][0], 1, 1), np.float32
+        )
+        for j, t in enumerate(_TAPS)
+    }
+    out = params_from_torch(vgg_state, lpips_state)
+    assert out["conv0_w"].shape == (64, 3, 3, 3)
+    assert out["conv12_w"].shape == (512, 512, 3, 3)
+    assert out["lin4_w"].shape == (512,)

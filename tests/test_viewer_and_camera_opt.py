@@ -139,3 +139,37 @@ def test_http_viewer_serves(rng):
         assert len(frames) == 1
     finally:
         server.stop()
+
+
+def test_viewer_trajectory_editor(rng):
+    """Keyframe endpoints emit a gs-render-compatible camera_path json
+    (the reference render panel's functional core, render_panel.py)."""
+    server = ViewerServer(
+        lambda c2w, h, w: np.zeros((h, w, 3), np.uint8),
+        host="127.0.0.1", port=0,
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        r = json.loads(urllib.request.urlopen(
+            base + "/keyframe/add?az=0.0&el=0.2&r=3", timeout=10).read())
+        assert r["num_keyframes"] == 1
+        # raw pose POST
+        c2w = np.eye(4)[:3].tolist()
+        req = urllib.request.Request(
+            base + "/keyframe/add",
+            data=json.dumps({"c2w": c2w}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        r = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        assert r["num_keyframes"] == 2
+        path = json.loads(urllib.request.urlopen(
+            base + "/trajectory?steps=10&fov=60&w=640&h=480", timeout=10
+        ).read())
+        assert len(path["camera_path"]) == 11  # 10 interpolated + final
+        assert path["render_width"] == 640
+        assert len(path["camera_path"][0]["camera_to_world"]) == 16
+        r = json.loads(urllib.request.urlopen(
+            base + "/keyframe/clear", timeout=10).read())
+        assert r["num_keyframes"] == 0
+    finally:
+        server.stop()
