@@ -156,8 +156,9 @@ class FullImageDatamanager:
         n = len(out.image_filenames)
         for i in range(n):
             img = load_image(out.image_filenames[i]).astype(np.float32) / 255.0
-            if img.shape[-1] == 4:
-                img = img[..., :3] * img[..., 3:4]  # premultiply; bg handled in loss
+            # RGBA kept as-is: the train/eval paths composite GT over the
+            # *active* background (vanilla_gs.py:870-878) — premultiplying
+            # here would bake in black and break random/white backgrounds
             depth = None
             if load_depths and out.depth_filenames:
                 depth = load_depth(

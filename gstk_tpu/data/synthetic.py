@@ -90,7 +90,14 @@ def generate_synthetic_dataset(
             scene, camera, h, w, sh_degree=0,
             background=jnp.zeros(3), raster_config=raster,
         )
-        img = (np.clip(np.asarray(outp["rgb"]), 0, 1) * 255).astype(np.uint8)
+        rgba = np.concatenate(
+            [
+                np.clip(np.asarray(outp["rgb"]), 0, 1),
+                np.clip(np.asarray(outp["alpha"]), 0, 1)[..., None],
+            ],
+            axis=-1,
+        )
+        img = (rgba * 255).astype(np.uint8)
         name = f"frame_{i:05d}.png"
         Image.fromarray(img).save(out_dir / "images" / name)
         frame = {

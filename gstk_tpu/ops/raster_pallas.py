@@ -194,8 +194,10 @@ def _keep(t_run, dead, a_eff, logm, valid):
 def _fwd_kernel(
     bins_ref, attr_ref, out_ref, chunk_vmem, sem,
     *, tiles_x: int, block_width: int, ch: int,
+    persistent_prefetch: bool = True,
 ):
     t = pl.program_id(0)
+    num_t = pl.num_programs(0)
     start = bins_ref[2 * t]
     end = bins_ref[2 * t + 1]
     ox, oy = _tile_origin(t, tiles_x, block_width)
@@ -213,9 +215,21 @@ def _fwd_kernel(
             attr_ref.at[blk], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_dma(0, 0)
+    if persistent_prefetch:
+        # Cross-tile pipelining: VMEM scratch persists across grid cells on
+        # the (single-core) TPU, so every invocation prefetches the NEXT
+        # tile's chunk 0 on exit (see kernel tail) and only tile 0 cold-
+        # starts its own — otherwise the first DMA's latency is exposed
+        # once per tile. (A multi-core grid split would break the handoff
+        # at core boundaries; v5e has one core per chip.)
+        @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
+        def _():
+            start_dma(0, 0)
+    else:
+        # interpret mode: scratch does not persist across cells
+        @pl.when(n_chunks > 0)
+        def _():
+            start_dma(0, 0)
 
     def cond(c):
         i, _, dead = c
@@ -259,6 +273,16 @@ def _fwd_kernel(
             attr_ref.at[(start + last * CHUNK) // CHUNK], chunk_vmem.at[slot],
             sem.at[slot],
         ).wait()
+    if persistent_prefetch:
+        # hand chunk 0 of the next (non-empty) tile to its invocation
+        nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_t - 2)]
+        nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_t - 1)]
+
+        @pl.when(jnp.logical_and(t + 1 < num_t, nend > nstart))
+        def _():
+            pltpu.make_async_copy(
+                attr_ref.at[nstart // CHUNK], chunk_vmem.at[0], sem.at[0]
+            ).start()
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
 
 
@@ -277,7 +301,8 @@ def composite_tiles_fwd(
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
+        _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
+        persistent_prefetch=not interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

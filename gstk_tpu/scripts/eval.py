@@ -86,17 +86,24 @@ def main(argv=None) -> None:
     psnrs, ssims, pairs = [], [], []
     t0 = time.perf_counter()
     n_rays = 0
+    bg = np.asarray(renderer.background, np.float32)
     for frame in dm.eval_frames:
-        h, w = frame.image.shape[:2]
+        gt = frame.image
+        if gt.shape[-1] == 4:
+            # composite RGBA GT over the render background
+            # (vanilla_gs.py:870-878)
+            a = gt[..., 3:4]
+            gt = a * gt[..., :3] + (1.0 - a) * bg
+        h, w = gt.shape[:2]
         out = renderer.get_output_from_pose(
             frame.c2w, frame.fx, frame.fy, frame.cx, frame.cy, h, w
         )
-        mse = float(np.mean((out["rgb"] - frame.image) ** 2))
+        mse = float(np.mean((out["rgb"] - gt) ** 2))
         psnrs.append(-10 * np.log10(max(mse, 1e-10)))
         ssims.append(
-            float(losses.ssim(jnp.asarray(frame.image), jnp.asarray(out["rgb"])))
+            float(losses.ssim(jnp.asarray(gt), jnp.asarray(out["rgb"])))
         )
-        pairs.append((frame.image, out["rgb"]))
+        pairs.append((gt, out["rgb"]))
         n_rays += h * w
     dt = time.perf_counter() - t0
 

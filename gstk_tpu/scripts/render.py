@@ -88,7 +88,11 @@ def render_poses(args) -> None:
         )
         _save_rgb(out_dir / "rgb" / f"frame_{i:05d}.png", out["rgb"])
         _save_depth_mm(out_dir / "depth" / f"depth_{i:05d}.png", out["depth"])
-        _save_rgb(out_dir / "gt" / "rgb" / f"frame_{i:05d}.png", frame.image)
+        _save_rgb(
+            out_dir / "gt" / "rgb" / f"frame_{i:05d}.png",
+            frame.image[..., :3]
+            if frame.image.shape[-1] == 4 else frame.image,
+        )
         if frame.depth is not None:
             _save_depth_mm(
                 out_dir / "gt" / "depth" / f"depth_{i:05d}.png",

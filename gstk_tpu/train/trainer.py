@@ -41,6 +41,10 @@ from gstk_tpu.train.step import TrainState, init_train_state, make_train_step
 from gstk_tpu.train.strategy import init_refine_state, refine
 from gstk_tpu.utils import losses as loss_utils
 from gstk_tpu.utils.profiler import PROFILER, timer
+
+# nerfstudio's fixed eval background (the reference renders eval frames on
+# it when background_color is "random"; GT composites over the same color)
+_EVAL_BACKGROUND = np.array([0.1490, 0.1647, 0.2157], np.float32)
 from gstk_tpu.utils.writer import (
     EventName,
     GLOBAL_WRITER,
@@ -421,7 +425,7 @@ class Trainer:
                 return render_scene(
                     scene, camera, h, w,
                     sh_degree=cfg.model.sh_degree,
-                    background=jnp.asarray([0.1490, 0.1647, 0.2157]),
+                    background=jnp.asarray(_EVAL_BACKGROUND),
                     config=cfg.model, raster_config=self.raster_cfg,
                 )
 
@@ -443,6 +447,9 @@ class Trainer:
             out = self._render_eval(frame)
             pred = np.asarray(out["rgb"])
             gt = frame.image
+            if gt.shape[-1] == 4:
+                a = gt[..., 3:4]
+                gt = a * gt[..., :3] + (1.0 - a) * _EVAL_BACKGROUND
             mse = float(np.mean((pred - gt) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
             ssims.append(
