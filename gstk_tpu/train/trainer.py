@@ -417,14 +417,21 @@ class Trainer:
     # -- eval ---------------------------------------------------------------
     def _render_eval(self, frame: CachedFrame):
         h, w = frame.image.shape[:2]
-        key = (h, w, self.state.scene.capacity, self.raster_cfg.isect_capacity)
+        cfg = self.config
+        # eval uses the *scheduled* SH degree, like the reference (the model
+        # reads self.step in get_outputs regardless of train/eval mode)
+        sh_eval = min(
+            int(self.state.step) // cfg.model.sh_degree_interval,
+            cfg.model.sh_degree,
+        )
+        key = (h, w, sh_eval, self.state.scene.capacity,
+               self.raster_cfg.isect_capacity)
         if key not in self._render_cache:
-            cfg = self.config
 
             def render_fn(scene, camera):
                 return render_scene(
                     scene, camera, h, w,
-                    sh_degree=cfg.model.sh_degree,
+                    sh_degree=sh_eval,
                     background=jnp.asarray(_EVAL_BACKGROUND),
                     config=cfg.model, raster_config=self.raster_cfg,
                 )
