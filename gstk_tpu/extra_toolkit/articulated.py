@@ -86,10 +86,14 @@ def rgbd_to_pointcloud(
     fx: float, fy: float, cx: float, cy: float,
     c2w_opengl: np.ndarray = None,
     max_depth: float = 10.0,
+    mask: np.ndarray = None,
 ):
     """Backproject an RGB-D frame to a world-space point cloud
-    (reference extra_toolkit/pcd_utils.py)."""
+    (reference extra_toolkit/pcd_utils.py:5-31, incl. its mask-gated
+    depth; ``max_depth`` is its depth_trunc)."""
     h, w = depth.shape
+    if mask is not None:
+        depth = np.where(mask > 0, depth, 0.0)
     ys, xs = np.nonzero((depth > 0) & (depth < max_depth))
     d = depth[ys, xs]
     x_c = (xs - cx) / fx * d
@@ -100,3 +104,22 @@ def rgbd_to_pointcloud(
         pts = pts_gl @ c2w_opengl[:3, :3].T + c2w_opengl[:3, 3]
     cols = rgb[ys, xs]
     return pts.astype(np.float32), cols
+
+
+def estimate_normals(points: np.ndarray, k: int = 30) -> np.ndarray:
+    """kNN-PCA surface normals (reference pcd_utils.py:28-30 uses open3d's
+    KDTreeSearchParamHybrid; here scipy cKDTree + local covariance
+    eigenvectors). Normals are unit length with arbitrary sign."""
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(points, np.float64)
+    k = min(k, len(pts))
+    _, idx = cKDTree(pts).query(pts, k=k)
+    nbrs = pts[idx]  # (N, k, 3)
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered) / max(k - 1, 1)
+    # smallest-eigenvalue eigenvector of each 3x3 covariance
+    _, vecs = np.linalg.eigh(cov)
+    normals = vecs[:, :, 0]
+    norms = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return (normals / np.maximum(norms, 1e-12)).astype(np.float32)

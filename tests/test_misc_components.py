@@ -122,3 +122,32 @@ def test_rgbd_to_pointcloud():
     pts, cols = rgbd_to_pointcloud(depth, rgb, 10.0, 10.0, 6.0, 5.0)
     assert pts.shape == (120, 3)
     np.testing.assert_allclose(pts[:, 2], 2.0)
+
+
+def test_rgbd_pointcloud_mask_and_normals(rng):
+    """pcd_utils parity: mask gates depth; kNN-PCA normals are unit and
+    perpendicular to a synthetic plane."""
+    from gstk_tpu.extra_toolkit.articulated import (
+        estimate_normals,
+        rgbd_to_pointcloud,
+    )
+
+    depth = np.full((8, 8), 2.0, np.float32)
+    rgb = np.zeros((8, 8, 3), np.float32)
+    mask = np.zeros((8, 8), np.uint8)
+    mask[:4] = 1
+    pts, _ = rgbd_to_pointcloud(depth, rgb, 10, 10, 4, 4, mask=mask)
+    assert len(pts) == 32  # only masked half survives
+
+    # plane z = 0.3x + 0.1y: normals should align with (-0.3, -0.1, 1)/|.|
+    xs, ys = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
+    plane = np.stack(
+        [xs.ravel(), ys.ravel(), 0.3 * xs.ravel() + 0.1 * ys.ravel()],
+        axis=-1,
+    )
+    normals = estimate_normals(plane, k=12)
+    expected = np.array([-0.3, -0.1, 1.0])
+    expected /= np.linalg.norm(expected)
+    dots = np.abs(normals @ expected)
+    assert np.all(dots > 0.999)
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-5)
