@@ -27,6 +27,13 @@ DATASETS = {
         "url": "https://drive.google.com/uc?id=18JxhpWD-4ZmuFKLzKlAw-w5PpzZxXOcG",
         "description": "NeRF synthetic Blender scenes",
     },
+    "eyefultower": {
+        "url": "https://github.com/facebookresearch/EyefulTower",
+        "description": (
+            "Eyeful Tower capture set (reference downloads/eyeful_tower.py;"
+            " per-scene S3 fetch documented at the repo)"
+        ),
+    },
 }
 
 
