@@ -178,7 +178,11 @@ def _keep(t_run, dead, a_eff, logm, valid):
     permanently the first time a composited entry would push T <= 1e-4
     (forward.cu:352-356); ``dead`` is a carried float (0/1) mask — float so
     all reductions stay on the VPU (no boolean reduce lowering needed)."""
-    cs = _cumsum_lanes(logm)
+    # 2-term split (~2^-16): the jax parity path computes transmittance by
+    # a different algorithm (cumprod vs exp-sum-log) whose disagreement
+    # already exceeds this, and T-threshold flips only gate contributions
+    # below the 1e-4 cutoff
+    cs = _cumsum_lanes(logm, terms=2)
     t_prev = t_run * jnp.exp(cs - logm)
     break_here = jnp.where(
         valid & (t_run * jnp.exp(cs) <= _T_CUTOFF), 1.0, 0.0
