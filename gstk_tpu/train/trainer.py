@@ -396,7 +396,10 @@ class Trainer:
                 if self.viewer is not None:
                     self.viewer.update_scene(self.state.scene, metrics_host)
 
-            if (step + 1) % cfg.steps_per_save == 0:
+            if (step + 1) % cfg.steps_per_save == 0 and jax.process_index() == 0:
+                # main-process-only save (the reference's @check_main_thread
+                # gate on checkpointing, engine/trainer.py:443); replicated
+                # state is identical across hosts
                 with timer("save_checkpoint"):
                     ckpt.save_checkpoint(
                         self.run_dir / "ckpts", self.state,
@@ -408,9 +411,11 @@ class Trainer:
             ):
                 self.eval_all(step)
 
-        ckpt.save_checkpoint(
-            self.run_dir / "ckpts", self.state, cfg.save_only_latest_checkpoint
-        )
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(
+                self.run_dir / "ckpts", self.state,
+                cfg.save_only_latest_checkpoint,
+            )
         total = time.time() - t_start
         print(f"Training done in {total / 60:.1f} min. {PROFILER.report()}")
 
