@@ -1,0 +1,133 @@
+"""Gaussian-sharded rendering: parameters sharded over devices along N.
+
+The third parallelism axis beyond camera data-parallelism and tile sharding
+(SURVEY §2.10's TPU-native mapping: "Gaussian parameters replicated *or
+sharded along N with all-gather for projection*"): for scenes whose padded
+parameter + Adam state no longer fit one chip's HBM, the GaussianScene
+pytree lives sharded on the capacity axis. Projection, SH evaluation, and
+opacity activation are embarrassingly parallel along N, so they run on the
+local shard; only the *compact projected outputs* (~60 B/gaussian instead
+of ~480 B of params+moments) are all-gathered over ICI for the global
+binning + tile compositing.
+
+The reference has no analog — its CUDA trainer replicates parameters per
+GPU (DDP); this is the TPU scaling path for 10M+ gaussian scenes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gstk_tpu.core.cameras import Camera, camera_matrices
+from gstk_tpu.core.gaussians import GaussianScene
+from gstk_tpu.models.vanilla import VanillaConfig
+from gstk_tpu.ops.projection import project_gaussians
+from gstk_tpu.ops.rasterize import RasterizeConfig, rasterize
+from gstk_tpu.ops.sh import spherical_harmonics
+from gstk_tpu.utils.math import normalize
+
+GAUSS_AXIS = "gauss"
+
+
+def make_gauss_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (GAUSS_AXIS,))
+
+
+def shard_scene(scene: GaussianScene, mesh: Mesh) -> GaussianScene:
+    """Place the scene pytree sharded on the capacity axis (device_put with
+    a NamedSharding; capacity must divide the mesh size)."""
+    sharding = NamedSharding(mesh, P(GAUSS_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), scene)
+
+
+def render_scene_gauss_sharded(
+    scene: GaussianScene,
+    camera: Camera,
+    img_height: int,
+    img_width: int,
+    *,
+    sh_degree: int,
+    background: jax.Array,
+    mesh: Mesh,
+    config: VanillaConfig = VanillaConfig(),
+    raster_config: RasterizeConfig = RasterizeConfig(),
+):
+    """Render with N-sharded parameters: per-shard projection + SH, one
+    all-gather of the compact screen-space attributes, replicated
+    rasterization. Returns {rgb, depth, alpha} like ``render_scene``.
+
+    Inference/eval path (binning + compositing see the gathered globals;
+    training at this scale pairs it with reduce-scattered gradients).
+    """
+
+    def local_project(shard: GaussianScene, cam: Camera):
+        means = shard.means
+        quats = normalize(shard.quats)
+        scales = jnp.exp(shard.scales)
+        viewmat, fullmat = camera_matrices(cam, img_height, img_width)
+        proj = project_gaussians(
+            means, scales, 1.0, quats, viewmat, fullmat,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            img_height, img_width, raster_config.block_width,
+        )
+        alive = shard.alive
+        radii = jnp.where(alive, proj.radii, 0)
+        num_tiles_hit = jnp.where(alive, proj.num_tiles_hit, 0)
+        if sh_degree > 0 or config.sh_degree > 0:
+            coeffs = jnp.concatenate(
+                [shard.features_dc[:, None, :], shard.features_rest], axis=1
+            )
+            viewdirs = normalize(
+                jax.lax.stop_gradient(means)
+                - jax.lax.stop_gradient(cam.position)[None, :]
+            )
+            rgbs = spherical_harmonics(int(sh_degree), viewdirs, coeffs)
+            rgbs = jnp.maximum(rgbs + 0.5, 0.0)
+        else:
+            rgbs = jax.nn.sigmoid(shard.features_dc)
+        opac = jax.nn.sigmoid(shard.opacities)[:, 0]
+        if config.rasterize_mode == "antialiased":
+            opac = opac * proj.compensation
+        opac = jnp.where(alive, opac, 0.0)
+        colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
+        # all-gather the compact projected set over ICI; params/moments
+        # stay sharded
+        gather = lambda x: jax.lax.all_gather(
+            x, GAUSS_AXIS, axis=0, tiled=True
+        )
+        return (
+            gather(proj.xys), gather(proj.depths), gather(radii),
+            gather(proj.conics), gather(num_tiles_hit), gather(colors4),
+            gather(opac),
+        )
+
+    xys, depths, radii, conics, num_tiles_hit, colors4, opac = (
+        jax.shard_map(
+            local_project,
+            mesh=mesh,
+            in_specs=(P(GAUSS_AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(scene, camera)
+    )
+    bg4 = jnp.concatenate([background, jnp.zeros(1, background.dtype)])
+    img4, alpha = rasterize(
+        xys, depths, radii, conics, num_tiles_hit, colors4, opac,
+        img_height, img_width, background=bg4, config=raster_config,
+    )
+    alpha_safe = jnp.maximum(alpha, 1e-10)
+    return {
+        "rgb": img4[..., :3],
+        "depth": jnp.where(
+            alpha > 0, img4[..., 3] / alpha_safe, 0.0
+        ),
+        "alpha": alpha,
+    }

@@ -106,3 +106,52 @@ def test_dp_psnr_improves_over_steps(rng):
             first = float(metrics["psnr"])
         last = float(metrics["psnr"])
     assert last > first + 2.0, (first, last)
+
+
+def test_gauss_sharded_render_matches_replicated(rng):
+    """N-sharded projection + all-gather matches the single-device render."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstk_tpu.core.cameras import Camera
+    from gstk_tpu.core.gaussians import init_scene
+    from gstk_tpu.models.vanilla import VanillaConfig, render_scene
+    from gstk_tpu.ops.rasterize import RasterizeConfig
+    from gstk_tpu.parallel.gaussian_sharding import (
+        make_gauss_mesh,
+        render_scene_gauss_sharded,
+        shard_scene,
+    )
+
+    H, W = 40, 56
+    raster = RasterizeConfig(chunk_size=16, isect_capacity=1 << 13)
+    pts = rng.uniform(-1.5, 1.5, (100, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, (100, 3)).astype(np.float32)
+    scene = init_scene(jax.random.PRNGKey(0), 128, (pts, rgb), sh_degree=1)
+    cam_c2w = np.zeros((3, 4), np.float32)
+    cam_c2w[:3, :3] = np.eye(3)
+    cam_c2w[:3, 3] = [0, 0, 4.0]
+    cam = Camera(
+        fx=jnp.float32(50.0), fy=jnp.float32(50.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+        c2w=jnp.asarray(cam_c2w),
+    )
+    cfg = VanillaConfig(sh_degree=1)
+    ref = render_scene(
+        scene, cam, H, W, sh_degree=1, background=jnp.zeros(3),
+        config=cfg, raster_config=raster,
+    )
+    mesh = make_gauss_mesh(8)
+    sharded = shard_scene(scene, mesh)
+    out = jax.jit(
+        lambda s, c: render_scene_gauss_sharded(
+            s, c, H, W, sh_degree=1, background=jnp.zeros(3), mesh=mesh,
+            config=cfg, raster_config=raster,
+        )
+    )(sharded, cam)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["alpha"]), np.asarray(ref["alpha"]), atol=1e-5
+    )
