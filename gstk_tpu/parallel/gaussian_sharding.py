@@ -48,6 +48,28 @@ def shard_scene(scene: GaussianScene, mesh: Mesh) -> GaussianScene:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), scene)
 
 
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState for gaussian-sharded (model-parallel) training:
+    every leaf with a leading capacity dim (params, Adam moments, refine
+    stats, alive mask) shards along ``GAUSS_AXIS``; scalars/camera-opt
+    replicate. ``make_train_step`` then runs unchanged under GSPMD — XLA
+    auto-partitions the N-dim elementwise math, inserts the all-gathers
+    feeding binning/compositing, and reduce-scatters gradients back to the
+    shards (verified bit-identical to the replicated step on an 8-device
+    mesh). Per-chip parameter + optimizer memory drops by the mesh size —
+    the training path for scenes beyond one chip's HBM."""
+    capacity = state.scene.capacity
+    gauss = NamedSharding(mesh, P(GAUSS_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+            return jax.device_put(x, gauss)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, state)
+
+
 def render_scene_gauss_sharded(
     scene: GaussianScene,
     camera: Camera,

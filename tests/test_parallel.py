@@ -155,3 +155,43 @@ def test_gauss_sharded_render_matches_replicated(rng):
     np.testing.assert_allclose(
         np.asarray(out["alpha"]), np.asarray(ref["alpha"]), atol=1e-5
     )
+
+
+def test_gauss_sharded_training_matches_replicated(rng):
+    """The unchanged train step under GSPMD with capacity-sharded state
+    produces bit-identical parameters to the replicated step."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_train import _gt_scene, _cameras, H, W, RASTER
+    from gstk_tpu.models.vanilla import VanillaConfig, render_scene
+    from gstk_tpu.parallel.gaussian_sharding import (
+        make_gauss_mesh,
+        shard_train_state,
+    )
+    from gstk_tpu.train.optim import OptimizerConfig
+    from gstk_tpu.train.step import init_train_state, make_train_step
+
+    scene = _gt_scene(rng)
+    cams = _cameras(2)
+    cfg = VanillaConfig(background_color="black", sh_degree=0)
+    gt = render_scene(
+        scene, cams[0], H, W, sh_degree=0, config=cfg,
+        background=jnp.zeros(3), raster_config=RASTER,
+    )["rgb"]
+    step = jax.jit(
+        make_train_step(cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0)
+    )
+    key = jax.random.PRNGKey(0)
+    ref, ref_m = step(init_train_state(scene), cams[1], gt, key)
+
+    mesh = make_gauss_mesh(8)
+    sharded = shard_train_state(init_train_state(scene), mesh)
+    out, m = step(sharded, cams[1], gt, key)
+    assert float(m["loss"]) == float(ref_m["loss"])
+    for k, v in ref.scene.params().items():
+        np.testing.assert_array_equal(
+            np.asarray(out.scene.params()[k]), np.asarray(v), err_msg=k
+        )
+    # state stays sharded across the step (no silent re-replication)
+    assert "gauss" in str(out.scene.means.sharding)
