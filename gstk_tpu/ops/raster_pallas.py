@@ -183,9 +183,12 @@ def _keep(t_run, dead, a_eff, logm, valid):
     # already exceeds this, and T-threshold flips only gate contributions
     # below the 1e-4 cutoff
     cs = _cumsum_lanes(logm, terms=2)
-    t_prev = t_run * jnp.exp(cs - logm)
+    # one exp instead of two: exp(cs - logm) = exp(cs) / (1 - a_eff), and
+    # a_eff <= 0.999 keeps the divisor >= 1e-3
+    e_cs = jnp.exp(cs)
+    t_prev = t_run * e_cs / (1.0 - a_eff)
     break_here = jnp.where(
-        valid & (t_run * jnp.exp(cs) <= _T_CUTOFF), 1.0, 0.0
+        valid & (t_run * e_cs <= _T_CUTOFF), 1.0, 0.0
     )
     dead_incl = jnp.maximum(dead, _cumsum_lanes(break_here, exact=True))
     keep = valid & (dead_incl < 0.5)
