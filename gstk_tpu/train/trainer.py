@@ -88,6 +88,10 @@ class TrainerConfig:
     # (one camera per device per step, pmean'd gradients); "off" forces
     # single-device.
     data_parallel: str = "auto"  # auto | off
+    # gaussian (model) parallelism: shard params/moments on the capacity
+    # axis across local devices (GSPMD partitions the unchanged step;
+    # parallel/gaussian_sharding.py). Mutually exclusive with data_parallel.
+    param_sharding: str = "off"  # off | auto
     # multi-host bootstrap (reference MachineConfig, configs/base_config.py:
     # 45-60): when set, jax.distributed.initialize runs before setup.
     coordinator_address: Optional[str] = None
@@ -171,7 +175,20 @@ class Trainer:
             )
         )
         self.mesh = None
-        if cfg.data_parallel == "auto" and jax.device_count() > 1:
+        self.gauss_mesh = None
+        if cfg.param_sharding == "auto" and jax.device_count() > 1:
+            from gstk_tpu.parallel.gaussian_sharding import (
+                make_gauss_mesh,
+                shard_train_state,
+            )
+
+            self.gauss_mesh = make_gauss_mesh()
+            self.state = shard_train_state(self.state, self.gauss_mesh)
+            print(
+                f"Gaussian-sharded training over "
+                f"{self.gauss_mesh.devices.size} devices"
+            )
+        elif cfg.data_parallel == "auto" and jax.device_count() > 1:
             from gstk_tpu.parallel.mesh import get_mesh
 
             self.mesh = get_mesh()
@@ -287,6 +304,12 @@ class Trainer:
                 scene=scene, adam=adam, refine=refine_state, step=state.step,
                 cam_adjust=state.cam_adjust, cam_adam=state.cam_adam,
             )
+            if self.gauss_mesh is not None:
+                from gstk_tpu.parallel.gaussian_sharding import (
+                    shard_train_state,
+                )
+
+                self.state = shard_train_state(self.state, self.gauss_mesh)
             self._step_cache.clear()
             self._refine_fn = jax.jit(
                 lambda s, step, k: refine(

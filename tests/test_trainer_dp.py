@@ -41,3 +41,39 @@ def test_trainer_auto_dp(tmp_path):
     # eval still works on the replicated state
     res = trainer.eval_all(step=6)
     assert np.isfinite(res["eval_psnr"])
+
+
+def test_trainer_param_sharding(tmp_path, rng):
+    """Trainer with param_sharding=auto trains with the state sharded on
+    the capacity axis across the virtual 8-device mesh."""
+    from gstk_tpu.data.synthetic import generate_synthetic_dataset
+    from gstk_tpu.data.dataparser import DataparserConfig
+    from gstk_tpu.models.vanilla import VanillaConfig
+    from gstk_tpu.train.trainer import Trainer, TrainerConfig
+
+    data = generate_synthetic_dataset(
+        tmp_path / "data", n_points=200, n_views=4, img_wh=(48, 32)
+    )
+    cfg = TrainerConfig(
+        output_dir=tmp_path / "out",
+        max_num_iterations=4,
+        steps_per_save=4,
+        steps_per_eval_all_images=0,
+        isect_capacity=1 << 12,
+        raster_chunk=16,
+        model=VanillaConfig(
+            sh_degree=1, warmup_length=0, num_downscales=0,
+        ),
+        dataparser=DataparserConfig(
+            data=data, eval_mode="interval", eval_interval=4,
+            downscale_factor=1,
+        ),
+        data_parallel="off",
+        param_sharding="auto",
+    )
+    t = Trainer(cfg)
+    t.setup()
+    assert t.gauss_mesh is not None
+    assert "gauss" in str(t.state.scene.means.sharding)
+    t.train()
+    assert "gauss" in str(t.state.scene.means.sharding)
