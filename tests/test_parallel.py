@@ -195,3 +195,77 @@ def test_gauss_sharded_training_matches_replicated(rng):
         )
     # state stays sharded across the step (no silent re-replication)
     assert "gauss" in str(out.scene.means.sharding)
+
+
+def test_2d_mesh_dp_x_gauss_sharding(rng):
+    """Camera data-parallelism (shard_map over 'data') composed with
+    gaussian parameter sharding (GSPMD over 'gauss') on a 2x4 mesh matches
+    the plain replicated data-parallel step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tests.test_train import _gt_scene, _cameras, H, W, RASTER
+    from gstk_tpu.models.vanilla import VanillaConfig, render_scene
+    from gstk_tpu.train.optim import OptimizerConfig
+    from gstk_tpu.train.step import init_train_state, make_train_step
+
+    scene = _gt_scene(rng)
+    start = scene._replace(
+        features_dc=scene.features_dc
+        + jnp.asarray(rng.normal(0, 1.0, scene.features_dc.shape), jnp.float32)
+    )
+    cams = _cameras(2)
+    cfg = VanillaConfig(background_color="black", sh_degree=0)
+    gts = jnp.stack([
+        render_scene(
+            scene, c, H, W, sh_degree=0, config=cfg,
+            background=jnp.zeros(3), raster_config=RASTER,
+        )["rgb"]
+        for c in cams
+    ])
+    cameras = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    step = make_train_step(
+        cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0, axis_name="data"
+    )
+
+    def inner(state, cam, gt, key):
+        cam = jax.tree.map(lambda x: x[0], cam)
+        return step(state, cam, gt[0], key[0])
+
+    def run(mesh, place_state):
+        wrapped = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+            axis_names={"data"},
+        )
+        s0 = jax.tree.map(place_state, init_train_state(start))
+        return jax.jit(wrapped)(s0, cameras, gts, keys)
+
+    # reference: 1D data mesh, replicated params
+    mesh1 = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    rep = lambda x: jax.device_put(x, NamedSharding(mesh1, P()))
+    ref_state, ref_m = run(mesh1, rep)
+
+    # 2D: data x gauss, params sharded on 'gauss'
+    mesh2 = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "gauss"))
+    cap = scene.capacity
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jax.device_put(x, NamedSharding(mesh2, P("gauss")))
+        return jax.device_put(x, NamedSharding(mesh2, P()))
+
+    out_state, m = run(mesh2, place)
+    np.testing.assert_allclose(
+        float(m["loss"]), float(ref_m["loss"]), rtol=1e-6
+    )
+    for k, v in ref_state.scene.params().items():
+        np.testing.assert_allclose(
+            np.asarray(out_state.scene.params()[k]), np.asarray(v),
+            atol=1e-6, err_msg=k,
+        )
+    assert "gauss" in str(out_state.scene.means.sharding)
