@@ -15,7 +15,7 @@ import dataclasses
 import enum
 import typing
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def _unwrap_optional(tp):

@@ -14,7 +14,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gstk_tpu.utils.math import quat_to_rotmat
 
 
 class SceneBox(NamedTuple):

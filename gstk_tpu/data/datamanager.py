@@ -17,7 +17,7 @@ reference's DDP sampler (each process sees its slice).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

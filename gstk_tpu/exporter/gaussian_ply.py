@@ -11,7 +11,6 @@ interchange format every 3DGS web viewer reads. Only alive lanes are written.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gstk_tpu.utils.io import write_ply
 
 
 class TSDFVolume(NamedTuple):

@@ -30,7 +30,7 @@ from gstk_tpu.ops.projection import project_gaussians
 from gstk_tpu.ops.rasterize import RasterizeConfig, rasterize
 from gstk_tpu.ops.sh import spherical_harmonics
 from gstk_tpu.utils import losses
-from gstk_tpu.utils.math import normalize, sh_to_rgb
+from gstk_tpu.utils.math import normalize
 
 
 @dataclasses.dataclass(frozen=True)

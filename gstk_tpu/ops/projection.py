@@ -29,7 +29,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from gstk_tpu.utils.math import quat_to_rotmat
 
 
 class ProjectedGaussians(NamedTuple):

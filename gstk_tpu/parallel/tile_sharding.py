@@ -116,7 +116,7 @@ def _composite_shard(
     come from the global tile indices of this shard."""
     import numpy as np
 
-    from gstk_tpu.ops.rasterize import _T_CUTOFF, _chunk_geometry, _keep_weights
+    from gstk_tpu.ops.rasterize import _chunk_geometry, _keep_weights
 
     n_local = bins_local.shape[0]
     P_ = block_width * block_width

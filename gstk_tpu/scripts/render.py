@@ -64,7 +64,6 @@ def render_trajectory(args) -> None:
 
 
 def render_poses(args) -> None:
-    import shutil
 
     from gstk_tpu.configs.serialize import load_config
     from gstk_tpu.data.datamanager import FullImageDatamanager

@@ -10,7 +10,6 @@ jax.distributed analog of the reference's --machine.* flags).
 from __future__ import annotations
 
 import dataclasses
-import sys
 from pathlib import Path
 
 from gstk_tpu.configs.cli import parse_cli

@@ -19,7 +19,6 @@ replacement for ``xys.retain_grad()`` (vanilla_gs.py:797).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -35,7 +34,7 @@ from gstk_tpu.models.vanilla import (
 )
 from gstk_tpu.ops.rasterize import RasterizeConfig
 from gstk_tpu.train.optim import AdamState, OptimizerConfig, adam_step, init_adam
-from gstk_tpu.train.strategy import RefineState, init_refine_state, update_stats
+from gstk_tpu.train.strategy import RefineState, init_refine_state
 
 
 class TrainState(NamedTuple):

@@ -38,7 +38,7 @@ from gstk_tpu.ops.rasterize import RasterizeConfig
 from gstk_tpu.train import checkpoint as ckpt
 from gstk_tpu.train.optim import OptimizerConfig
 from gstk_tpu.train.step import TrainState, init_train_state, make_train_step
-from gstk_tpu.train.strategy import init_refine_state, refine
+from gstk_tpu.train.strategy import refine
 from gstk_tpu.utils import losses as loss_utils
 from gstk_tpu.utils.profiler import PROFILER, timer
 

@@ -21,7 +21,7 @@ averaged, and summed over taps.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
