@@ -127,6 +127,11 @@ class FullImageDatamanager:
             if self.eval_outputs is not None and self.eval_outputs.image_filenames
             else []
         )
+        # Global (pre-shard) train-image count: refinement gating ("seen
+        # every image since opacity reset", vanilla_gs.py:404-409) must use
+        # the same value on every host or replicas desync at shard-boundary
+        # steps.
+        self.num_train_global = len(self.train_frames)
         if num_shards > 1:
             self.train_frames = self.train_frames[shard_index::num_shards]
         self._uniformize()

@@ -64,35 +64,28 @@ def data_parallel_train_step(train_step, mesh: Mesh):
 
     def sharded(
         state, cameras, gt_images, keys, masks=None, depths=None,
-        camera_indices=None,
+        camera_indices=None, mono_scales=None, mono_shifts=None,
     ):
-        extras_spec = tuple(
-            P(DATA_AXIS)
-            for x in (masks, depths, camera_indices)
-            if x is not None
-        )
-        extras = tuple(
-            x for x in (masks, depths, camera_indices) if x is not None
-        )
-        has_mask = masks is not None
-        has_depth = depths is not None
-        has_cam_idx = camera_indices is not None
+        opt = (masks, depths, mono_scales, mono_shifts, camera_indices)
+        extras_spec = tuple(P(DATA_AXIS) for x in opt if x is not None)
+        extras = tuple(x for x in opt if x is not None)
+        present = tuple(x is not None for x in opt)
 
         def inner(state, cam, gt, key, *ex):
             # shard_map keeps the (1,) shard leading dim; drop it.
             cam = jax.tree.map(lambda x: x[0], cam)
+            vals = []
             i = 0
-            mask = depth = cam_idx = None
-            if has_mask:
-                mask = ex[i][0]
-                i += 1
-            if has_depth:
-                depth = ex[i][0]
-                i += 1
-            if has_cam_idx:
-                cam_idx = ex[i][0]
+            for has in present:
+                if has:
+                    vals.append(ex[i][0])
+                    i += 1
+                else:
+                    vals.append(None)
+            mask, depth, mono_scale, mono_shift, cam_idx = vals
             new_state, metrics = train_step(
                 state, cam, gt[0], key[0], mask, depth,
+                mono_scale=mono_scale, mono_shift=mono_shift,
                 camera_index=cam_idx,
             )
             return new_state, metrics

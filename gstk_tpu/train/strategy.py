@@ -162,10 +162,18 @@ def refine(
     culls = culls | splits  # split originals replaced by their children
     alive_after_cull = scene.alive & (~culls)
 
-    # New children are subject to the same alpha cull the reference applies to
-    # the concatenated tensor (cull_gaussians runs after densify).
+    # New children are subject to the same alpha + world-size cull the
+    # reference applies to the concatenated tensor (cull_gaussians runs on
+    # the full tensor after densify, vanilla_gs.py:500-535): past the first
+    # opacity reset, children with max(exp(scale)) > cull_scale_thresh are
+    # culled immediately there and must not survive a refine period here.
     cand_op = jax.nn.sigmoid(cand_opac[:, 0])
     cand_valid = cand_valid & (cand_op >= cfg.cull_alpha_thresh)
+    past_reset = step > cfg.refine_every * cfg.reset_alpha_every
+    cand_toobig = (
+        jnp.max(jnp.exp(cand_scales), axis=-1) > cfg.cull_scale_thresh
+    )
+    cand_valid = cand_valid & ~(past_reset & cand_toobig)
 
     # ---- allocate free slots ----
     free = ~alive_after_cull
@@ -198,8 +206,13 @@ def refine(
     adam_state = zero_moments_at(adam_state, target, place)
 
     # ---- opacity reset (vanilla_gs.py:476-493) ----
-    do_reset = (step < cfg.stop_split_at) & (
-        (step % reset_interval) == cfg.refine_every
+    # Gated on warmup like densify/cull: the reference's refinement_after
+    # returns early for step <= warmup_length (vanilla_gs.py:384-386), which
+    # skips the reset too.
+    do_reset = (
+        (~in_warmup)
+        & (step < cfg.stop_split_at)
+        & ((step % reset_interval) == cfg.refine_every)
     )
     reset_value = cfg.cull_alpha_thresh * 2.0
     reset_logit = jnp.log(reset_value / (1.0 - reset_value))

@@ -314,7 +314,7 @@ class Trainer:
             self._refine_fn = jax.jit(
                 lambda s, step, k: refine(
                     s.scene, s.adam, s.refine, step, k,
-                    cfg.model, self.datamanager.num_train,
+                    cfg.model, self.datamanager.num_train_global,
                     max(self.datamanager.image_size),
                 )
             )
@@ -381,6 +381,16 @@ class Trainer:
                     if parts[0][3] is not None
                     else None
                 )
+                mscales = (
+                    jnp.stack([p[4] for p in parts])
+                    if parts[0][4] is not None
+                    else None
+                )
+                mshifts = (
+                    jnp.stack([p[5] for p in parts])
+                    if parts[0][5] is not None
+                    else None
+                )
                 keys = jax.random.split(k, n_dev)
                 cam_indices = (
                     jnp.asarray([i for i, _ in picks], jnp.int32)
@@ -390,7 +400,8 @@ class Trainer:
                 with timer("train_iteration"):
                     self.state, metrics = step_fn(
                         self.state, cameras, gts, keys, masks, depths,
-                        cam_indices,
+                        cam_indices, mono_scales=mscales,
+                        mono_shifts=mshifts,
                     )
 
             if (step + 1) % cfg.model.refine_every == 0:

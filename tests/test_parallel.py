@@ -269,3 +269,52 @@ def test_2d_mesh_dp_x_gauss_sharding(rng):
             atol=1e-6, err_msg=k,
         )
     assert "gauss" in str(out_state.scene.means.sharding)
+
+
+def test_dp_threads_mono_depth_scale(rng):
+    """ADVICE r1: under data parallelism a DepthConfig with
+    use_scaled_est_depth must receive mono_scale/mono_shift through the
+    shard_map wrapper — the scaled log-depth loss silently vanished before."""
+    from gstk_tpu.models.depth import DepthConfig
+
+    n_dev = 2
+    mesh = get_mesh(n_dev)
+    gt_scene = _gt_scene(rng)
+    cams = _cameras(n_dev)
+    gts, depths = [], []
+    for c in cams:
+        out = render_scene(
+            gt_scene, c, H, W, sh_degree=0,
+            background=jnp.zeros(3), raster_config=RASTER,
+            config=VanillaConfig(),
+        )
+        gts.append(out["rgb"])
+        depths.append(jnp.ones((H, W), jnp.float32))
+    gts, depths = jnp.stack(gts), jnp.stack(depths)
+
+    cfg = DepthConfig(
+        background_color="black", sh_degree=0, use_est_depth=True,
+        use_scaled_est_depth=True, depth_loss_start_iteration=0,
+        mono_depth_l1_start_iteration=0,
+    )
+    step = make_train_step(
+        cfg, RASTER, OptimizerConfig(), H, W, sh_degree=0,
+        axis_name=DATA_AXIS,
+    )
+    wrapped = jax.jit(data_parallel_train_step(step, mesh))
+    state = init_train_state(gt_scene)
+    # step counter past the gates
+    state = state._replace(step=jnp.int32(10))
+    keys = jnp.stack([jax.random.PRNGKey(5)] * n_dev)
+    mscales = jnp.asarray([2.0, 2.0], jnp.float32)
+    mshifts = jnp.asarray([0.1, 0.1], jnp.float32)
+
+    _, m_without = wrapped(
+        state, _stack_cameras(cams), gts, keys, None, depths
+    )
+    _, m_with = wrapped(
+        state, _stack_cameras(cams), gts, keys, None, depths,
+        mono_scales=mscales, mono_shifts=mshifts,
+    )
+    # the scaled log-L1 term only enters when mono_scale is threaded through
+    assert float(m_with["loss"]) != float(m_without["loss"])

@@ -237,6 +237,71 @@ def test_refine_respects_warmup(rng):
     assert int(new_scene.num_alive) == n0  # nothing happens during warmup
 
 
+def test_refine_no_reset_during_warmup(rng):
+    """The reference's refinement_after returns early for
+    step <= warmup_length (vanilla_gs.py:384-386), skipping the opacity
+    reset too: a reset-aligned step inside warmup must not clamp opacities
+    or zero the opacity moments."""
+    scene, adam = _mk_refine_inputs(rng)
+    scene = scene._replace(opacities=jnp.full_like(scene.opacities, 3.0))
+    adam = adam._replace(
+        mu={**adam.mu, "opacities": jnp.ones_like(adam.mu["opacities"])}
+    )
+    # reset_interval = 30*100 = 3000; step 100 satisfies
+    # step % reset_interval == refine_every but is inside warmup (<=500).
+    cfg = VanillaConfig(warmup_length=500, refine_every=100, reset_alpha_every=30)
+    rs = init_refine_state(scene.capacity)
+    new_scene, new_adam, _, info = refine(
+        scene, adam, rs, jnp.int32(100), jax.random.PRNGKey(0), cfg, 4, max(H, W)
+    )
+    assert not bool(info["did_reset"])
+    assert float(jnp.max(new_scene.opacities)) == 3.0
+    assert float(jnp.abs(new_adam.mu["opacities"]).max()) == 1.0
+
+
+def test_refine_culls_oversized_children(rng):
+    """Past the first opacity reset, the reference's cull_gaussians runs on
+    the concatenated tensor (vanilla_gs.py:500-535): split/dup children with
+    exp(scale)/1.6 (resp. exp(scale)) > cull_scale_thresh must be culled
+    immediately, not survive a refine period."""
+    scene, adam = _mk_refine_inputs(rng)
+    cfg = VanillaConfig(
+        warmup_length=0, refine_every=10, reset_alpha_every=30,
+        densify_grad_thresh=1e-9, stop_split_at=100_000,
+        densify_size_thresh=0.01, cull_scale_thresh=0.5,
+    )
+    n0 = int(scene.num_alive)
+    # Huge scales: split candidates, whose children (scale/1.6 > 0.5) are
+    # over the world-size cull threshold.
+    scales = np.asarray(scene.scales).copy()
+    scales[:n0] = np.log(2.0)  # exp/1.6 = 1.25 > cull_scale_thresh
+    scene = scene._replace(scales=jnp.asarray(scales))
+    rs = RefineState(
+        xys_grad_norm=jnp.full((scene.capacity,), 1.0),
+        vis_counts=jnp.full((scene.capacity,), 1.0),
+        max_2dsize=jnp.zeros((scene.capacity,)),
+    )
+    # a densify-window step past the first reset (> refine_every*reset_alpha_every)
+    step = jnp.int32(451)
+    new_scene, _, _, info = refine(
+        scene, adam, rs, step, jax.random.PRNGKey(0), cfg, 4, max(H, W)
+    )
+    # originals are split away AND world-size-culled; children are too big to
+    # be placed -> nothing alive.
+    assert int(new_scene.num_alive) == 0
+    # same step before the first reset: children ARE placed (reference only
+    # applies the world/screen culls past the reset)
+    new_scene2, _, _, _ = refine(
+        scene, adam, rs, jnp.int32(151), jax.random.PRNGKey(0),
+        VanillaConfig(
+            warmup_length=0, refine_every=10, reset_alpha_every=30_000,
+            densify_grad_thresh=1e-9, stop_split_at=100_000,
+            densify_size_thresh=0.01, cull_scale_thresh=0.5,
+        ), 4, max(H, W),
+    )
+    assert int(new_scene2.num_alive) > 0
+
+
 def test_micro_batch_accumulates_gradients(rng):
     """micro_batch=N is the reference's gradient accumulation
     (trainer.py:486-505): gradients sum over N cameras, Adam applies once.
