@@ -126,15 +126,34 @@ def bin_gaussians(
     # gather (whose 1-D column extraction alone relayouts for ~2 ms at 1M
     # slots). Integer columns telescope exactly; depth rides its i32 bit
     # pattern (exact mod-2^32 telescoping), not float differences.
+    #
+    # The scatter (~1.1 ms for 131k update rows) dominates each pass, so
+    # the five per-gaussian columns are bit-packed into two int32 words
+    # (+ depth): cum_excl|bbox_w and tminy|tminx. Shift widths come from
+    # the static tile grid; telescoping is exact mod 2^32, so unpacking
+    # through uint32 logical shifts recovers the low fields even when
+    # cum_excl (unbounded under overflow) wraps the word — slots < capacity
+    # always belong to gaussians with cum_excl < capacity <= 2^20.
     tile_min, tile_max = tile_bbox(
         xys, radii.astype(jnp.float32), tile_bounds, block_width
     )
     bbox_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
+    bits_x = int(tile_bounds[0] + 1).bit_length()
+    bits_y = int(tile_bounds[1] + 1).bit_length()
+    assert bits_x + 21 <= 32, "image too wide for packed binning"
+    assert capacity <= 1 << 20, "packed binning assumes capacity <= 2^20"
     seg = lambda v: _segment_constant(v, cum, capacity)
-    pos = jnp.arange(capacity, dtype=jnp.int32) - seg(cum_excl)
-    tminx_s = seg(tile_min[:, 0])
-    tminy_s = seg(tile_min[:, 1])
-    bw_i = seg(bbox_w)
+    packed_a = (cum_excl << bits_x) | bbox_w
+    packed_b = (tile_min[:, 1] << bits_x) | tile_min[:, 0]
+    a_s = seg(packed_a)
+    b_s = seg(packed_b)
+    u = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    s = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+    cum_excl_s = s((u(a_s) >> bits_x) & jnp.uint32((1 << 21) - 1))
+    bw_i = s(u(a_s) & jnp.uint32((1 << bits_x) - 1))
+    tminy_s = s((u(b_s) >> bits_x) & jnp.uint32((1 << bits_y) - 1))
+    tminx_s = s(u(b_s) & jnp.uint32((1 << bits_x) - 1))
+    pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
     depth_s = jax.lax.bitcast_convert_type(
         seg(
             jax.lax.bitcast_convert_type(
@@ -166,7 +185,12 @@ def bin_gaussians(
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
+    # tiles partition the sorted array contiguously (sentinels sort last),
+    # so end_t = start_{t+1}, and the last real tile ends where the
+    # sentinel run begins = the number of kept real intersections — no
+    # second searchsorted needed.
+    n_real = jnp.minimum(total, capacity).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], n_real[None]])
     tile_bins = jnp.stack([starts, ends], axis=-1)
 
     return Intersections(
@@ -176,6 +200,41 @@ def bin_gaussians(
         num_intersects=total,
         expansion_ids=sorted_eidx,
     )
+
+
+def padded_positions(
+    isect: Intersections, num_tiles: int, align: int
+) -> jax.Array:
+    """Expansion-order -> padded-position permutation for the backward
+    gradient reduction.
+
+    The Pallas backward kernel writes per-intersection gradients at
+    *padded* positions (each tile's range re-based to an ``align``-multiple
+    start); the per-Gaussian reduction needs them in *expansion* (gaussian-
+    major) order. Padded position of sorted entry j is ``j + delta[tile]``
+    (piecewise-constant per tile — a T-element diff-scatter + cumsum, cheap),
+    and one cap-sized sort by expansion id delivers the permutation — much
+    cheaper than the former (padded_cap)-sized sort inside the VJP, and it
+    keeps the gradient gather a row-major row gather.
+
+    Returns (cap,) int32: entry e of the expansion maps to
+    ``out[e]`` in the padded gradient buffer (garbage for sentinel e, which
+    the reduction never reads).
+    """
+    cap = isect.gaussian_ids.shape[0]
+    counts = isect.tile_bins[:, 1] - isect.tile_bins[:, 0]
+    padded_counts = ((counts + align - 1) // align) * align
+    cum = jnp.cumsum(padded_counts).astype(jnp.int32)
+    padded_start = cum - padded_counts
+    delta = padded_start - isect.tile_bins[:, 0]
+    # tile t owns sorted positions [start_t, end_t); the ends partition the
+    # sorted array contiguously, so delta broadcasts piecewise-constant
+    delta_sorted = _segment_constant(delta, isect.tile_bins[:, 1], cap)
+    pos_sorted = jnp.arange(cap, dtype=jnp.int32) + delta_sorted
+    padded_cap = cap + num_tiles * align
+    pos_sorted = jnp.clip(pos_sorted, 0, padded_cap - 1)
+    _, pos = jax.lax.sort((isect.expansion_ids, pos_sorted), num_keys=1)
+    return pos
 
 
 def pad_tile_ranges(

@@ -8,21 +8,34 @@ memory/compute model rather than translated:
     ``binning.pad_tile_ranges``) so each 16x16 tile owns whole 128-entry
     blocks: chunk DMAs are aligned and backward gradient writes are disjoint
     — TPU has no atomics, so exclusivity replaces CUDA's atomicAdd.
-  * Per chunk, alphas form a (256 pixels, 128 entries) block: sublanes =
-    pixels, lanes = depth-sorted entries. Front-to-back compositing is an
-    exclusive cumprod along lanes (log-space cumsum) and the color
-    accumulation is a (ch,128)x(256,128)^T contraction on the MXU.
+  * Attributes live in HBM **entry-major, 128 lanes wide**: ``(Cp, 128)``
+    f32 with lanes [x, y, conic_a, conic_b, conic_c, opacity, colors...,
+    0-pad]. A 128-lane minor dim keeps the upstream pack gathers row-major
+    and row-contiguous (the previous 16-wide layout forced XLA into
+    column-major gathers at ~20 GB/s — docs/PERFORMANCE.md) and makes chunk
+    DMAs plain (128, 128) sublane slices (Mosaic rejects DMAs with 16-wide
+    minor dims).
+  * On arrival each chunk is transposed to attr-major (rows, 128) by one
+    exact MXU contraction (a 3-term bf16 split against a selector matrix is
+    exactly f32 — ``_mxu_transpose``); the compositing math then runs in
+    the proven attr-rows x entry-lanes orientation: alphas form a
+    (256 pixels, 128 entries) block, front-to-back compositing is an
+    exclusive cumprod along lanes (log-space cumsum as a lower-triangular
+    MXU matmul), and color accumulation is a (ch,128)x(256,128)^T
+    contraction on the MXU.
   * The CUDA early-``break`` is replicated exactly with a carried per-pixel
     dead flag (see ``_keep``); whole-tile early exit happens at chunk
     granularity via the while-loop condition.
+  * The backward kernel writes per-intersection gradients **attr-major
+    compact**: ``(rows, Cp)`` with rows = roundup8(6 + ch) — an (rows, 128)
+    lane-slice DMA per chunk, 8x less write traffic than entry-major
+    128-lane rows, and one cheap host-side transpose re-lays it for the
+    per-Gaussian reduction.
 
-Attribute layout: block-transposed (Cp/128, 16, 128) — whole leading-index
-blocks DMA cleanly and arrive attr-major in VMEM:
-  row 0 x | 1 y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity |
-  rows 6..6+ch-1 colors | rest padding.
-
-Outputs per tile are packed (T, 8, 256): rows 0..ch-1 accumulated foreground
-color, row ``ch`` final transmittance.
+Outputs per tile are packed (T, out_rows(ch), 256): rows 0..ch-1
+accumulated foreground color, row ``ch`` final transmittance. Any channel
+count up to ATTR_W - 6 runs through the kernel (the reference's 3ch/ND
+split, rasterize.py:145-148, is unnecessary).
 """
 
 from __future__ import annotations
@@ -38,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ALPHA_CLAMP = 0.999
 _ALPHA_CUTOFF = 1.0 / 255.0
 _T_CUTOFF = 1e-4
+
+
 def _bf16_split(x, terms: int):
     """Split x into ``terms`` bf16 values summing to ~x (each extra term
     adds ~8 mantissa bits; 3 terms ~ full f32)."""
@@ -93,9 +108,39 @@ def _mxu_dot(a, b, dims, a_exact=False, b_exact=False, terms=3):
     b_hi, b_lo = _bf16_split(b, 2)
     return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
+
 CHUNK = 128  # entries per compositing chunk (= lane width)
-ATTR_ROWS = 16
+ATTR_W = 128  # HBM attribute lanes per entry (x y ca cb cc op colors.. pad)
+
+
+def attr_rows(ch: int) -> int:
+    """In-kernel attr-major row count for ``ch`` channels (multiple of 8)."""
+    return ((6 + ch + 7) // 8) * 8
+
+
+def out_rows(ch: int) -> int:
+    """Output row count for ``ch`` channels + 1 transmittance row, rounded
+    to the f32 sublane tile (8)."""
+    return ((ch + 1 + 7) // 8) * 8
+
+
+# Back-compat aliases for older callers/tests.
 OUT_ROWS = 8
+ATTR_ROWS = 16
+
+
+def _mxu_transpose(x, rows: int):
+    """Exact f32 transpose of the first ``rows`` lanes of ``x`` (K, 128)
+    -> (rows, K) via a selector-matrix MXU contraction. The selector is
+    0/1 (bf16-exact); a 3-term bf16 split of ``x`` makes the product
+    exactly f32 (documented in docs/PERFORMANCE.md: 3-term splits are
+    exact against integer-exact operands)."""
+    k = x.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+    sel = (r == c).astype(jnp.float32)  # (rows, 128) selects lane a
+    # out[a, e] = sum_l sel[a, l] x[e, l]
+    return _mxu_dot(sel, x, (((1,), (1,)), ((), ())), a_exact=True)
 
 
 def _tile_origin(tile_idx, tiles_x: int, block_width: int):
@@ -124,7 +169,7 @@ def _pixel_basis(block_width: int):
 
 
 def _chunk_alpha(chunk, basis, ox, oy, off, end):
-    """Alpha/validity for one (ATTR_ROWS, CHUNK) chunk.
+    """Alpha/validity for one attr-major (rows, CHUNK) chunk.
 
     Returns (a_eff (P,K), logm (P,K), valid, extras for bwd). Entry centers
     are shifted into tile-local coordinates; sigma = basis @ C where C packs
@@ -210,6 +255,7 @@ def _fwd_kernel(
     ox, oy = _tile_origin(t, tiles_x, block_width)
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
+    rows = attr_rows(ch)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     n_chunks = (end - start + CHUNK - 1) // CHUNK
@@ -217,10 +263,16 @@ def _fwd_kernel(
     # Double-buffered chunk streaming: start chunk i+1's DMA before
     # compositing chunk i, so HBM latency hides behind the alpha math.
     def start_dma(i, slot):
-        blk = (start + i * CHUNK) // CHUNK
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[blk], chunk_vmem.at[slot], sem.at[slot]
+            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).start()
+
+    def wait_dma(i, slot):
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
+        ).wait()
 
     if persistent_prefetch:
         # Cross-tile pipelining: VMEM scratch persists across grid cells on
@@ -250,12 +302,9 @@ def _fwd_kernel(
         # bookkeeping uniform)
         nxt = jnp.minimum(i + 1, n_chunks - 1)
         start_dma(nxt, 1 - slot)
+        wait_dma(i, slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
-            sem.at[slot],
-        ).wait()
-        chunk = chunk_vmem[slot]
+        chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K) attr-major
         a_eff, logm, valid, _ = _chunk_alpha(chunk, basis, ox, oy, off, end)
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
@@ -276,10 +325,7 @@ def _fwd_kernel(
     def _():
         slot = jax.lax.rem(i_done, 2)
         last = jnp.minimum(i_done, n_chunks - 1)
-        pltpu.make_async_copy(
-            attr_ref.at[(start + last * CHUNK) // CHUNK], chunk_vmem.at[slot],
-            sem.at[slot],
-        ).wait()
+        wait_dma(last, slot)
     if persistent_prefetch:
         # hand chunk 0 of the next (non-empty) tile to its invocation
         nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_t - 2)]
@@ -287,8 +333,9 @@ def _fwd_kernel(
 
         @pl.when(jnp.logical_and(t + 1 < num_t, nend > nstart))
         def _():
+            noff = pl.multiple_of(nstart, CHUNK)
             pltpu.make_async_copy(
-                attr_ref.at[nstart // CHUNK], chunk_vmem.at[0], sem.at[0]
+                attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0], sem.at[0]
             ).start()
     out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
 
@@ -297,16 +344,17 @@ def _fwd_kernel(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_fwd(
-    s_attr: jax.Array,  # (Cp/CHUNK, ATTR_ROWS, CHUNK) block-transposed attributes
+    s_attr: jax.Array,  # (Cp, ATTR_W) entry-major attributes
     tile_bins: jax.Array,  # (T, 2) int32, CHUNK-aligned starts
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
 ):
-    """Returns (T, OUT_ROWS, P) packed [colors rows, final_t row]."""
+    """Returns (T, out_rows(ch), P) packed [colors rows, final_t row]."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
+    orows = out_rows(ch)
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         persistent_prefetch=not interpret,
@@ -316,16 +364,16 @@ def composite_tiles_fwd(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, orows, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_bins.reshape(-1), s_attr)
@@ -338,9 +386,11 @@ def _bwd_kernel(
     *, tiles_x: int, block_width: int, ch: int,
 ):
     """Backward sweep for one tile: recompute chunks front-to-back, write
-    per-intersection gradients to the tile's exclusive blocks of ``gout_ref``.
+    per-intersection gradients attr-major to the tile's exclusive lane
+    blocks of ``gout_ref`` ((rows, Cp): row a holds attribute a's gradient
+    for every intersection).
 
-    fwd_ref/ct_ref blocks are (1, OUT_ROWS, P): forward outputs
+    fwd_ref/ct_ref blocks are (1, out_rows, P): forward outputs
     [acc_fg rows, final_t row] and cotangents [g_img rows, g_final_t row].
     """
     t = pl.program_id(0)
@@ -349,6 +399,7 @@ def _bwd_kernel(
     ox, oy = _tile_origin(t, tiles_x, block_width)
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
+    rows = attr_rows(ch)
 
     g_img = ct_ref[0, 0:ch, :]  # (ch, P)
     g_final_t_row = ct_ref[0, ch : ch + 1, :]  # (1, P)
@@ -365,14 +416,21 @@ def _bwd_kernel(
     # i's math, and each gradient write drains while the next two chunks
     # compute (waited only when its buffer is about to be reused).
     def start_read(i, slot):
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
-            sem.at[slot],
+            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
-    def wait_write(i, slot):
+    def wait_read(i, slot):
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            gtile_vmem.at[slot], gout_ref.at[(start + i * CHUNK) // CHUNK],
+            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
+        ).wait()
+
+    def wait_write(i, slot):
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            gtile_vmem.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)],
             wsem.at[slot],
         ).wait()
 
@@ -389,12 +447,9 @@ def _bwd_kernel(
         slot = jax.lax.rem(i, 2)
         nxt = jnp.minimum(i + 1, n_chunks - 1)
         start_read(nxt, 1 - slot)
+        wait_read(i, slot)
         off = pl.multiple_of(start + i * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[(start + i * CHUNK) // CHUNK], chunk_vmem.at[slot],
-            sem.at[slot],
-        ).wait()
-        chunk = chunk_vmem[slot]
+        chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
         a_eff, logm, valid, extras = _chunk_alpha(chunk, basis, ox, oy, off, end)
         x, y, ca, cb, cc, op, raw, alpha = extras
         a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
@@ -452,11 +507,11 @@ def _bwd_kernel(
             wait_write(i - 2, slot)
         gtile_vmem[slot] = jnp.concatenate(
             [g_x, g_y, g_ca, g_cb, g_cc, g_op, g_colors,
-             jnp.zeros((ATTR_ROWS - 6 - ch, CHUNK), jnp.float32)],
+             jnp.zeros((rows - 6 - ch, CHUNK), jnp.float32)],
             axis=0,
-        )  # (ATTR_ROWS, K)
+        )  # (rows, K)
         pltpu.make_async_copy(
-            gtile_vmem.at[slot], gout_ref.at[(start + i * CHUNK) // CHUNK],
+            gtile_vmem.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)],
             wsem.at[slot],
         ).start()
 
@@ -475,10 +530,7 @@ def _bwd_kernel(
     def _():
         rslot = jax.lax.rem(i_done, 2)
         last = jnp.minimum(i_done, n_chunks - 1)
-        pltpu.make_async_copy(
-            attr_ref.at[(start + last * CHUNK) // CHUNK],
-            chunk_vmem.at[rslot], sem.at[rslot],
-        ).wait()
+        wait_read(last, rslot)
 
     @pl.when(i_done >= 1)
     def _():
@@ -489,15 +541,15 @@ def _bwd_kernel(
         wait_write(i_done - 2, jax.lax.rem(i_done - 2, 2))
 
     # zero-fill the tile's remaining (early-exited) blocks so the
-    # segment-sum never reads garbage
+    # per-Gaussian reduction never reads garbage
     def zcond(i):
         return i < n_chunks
 
     def zbody(i):
-        gtile_vmem[0] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+        gtile_vmem[0] = jnp.zeros(gtile_vmem.shape[1:], jnp.float32)
+        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         wdma = pltpu.make_async_copy(
-            gtile_vmem.at[0], gout_ref.at[(start + i * CHUNK) // CHUNK],
-            wsem.at[0],
+            gtile_vmem.at[0], gout_ref.at[:, pl.ds(off, CHUNK)], wsem.at[0]
         )
         wdma.start()
         wdma.wait()
@@ -510,19 +562,21 @@ def _bwd_kernel(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_bwd(
-    s_attr: jax.Array,  # (ATTR_ROWS, Cp)
+    s_attr: jax.Array,  # (Cp, ATTR_W)
     tile_bins: jax.Array,  # (T, 2)
-    fwd_packed: jax.Array,  # (T, OUT_ROWS, P)
-    ct_packed: jax.Array,  # (T, OUT_ROWS, P)
+    fwd_packed: jax.Array,  # (T, out_rows, P)
+    ct_packed: jax.Array,  # (T, out_rows, P)
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-intersection gradients (Cp/CHUNK, ATTR_ROWS, CHUNK), block layout."""
+    """Per-intersection gradients (attr_rows(ch), Cp), attr-major."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
-    cp = s_attr.shape[0] * CHUNK
+    cp = s_attr.shape[0]
+    orows = fwd_packed.shape[1]
+    rows = attr_rows(ch)
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
     )
@@ -532,27 +586,25 @@ def composite_tiles_bwd(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0),
+                (1, orows, p), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, OUT_ROWS, p), lambda i, *_: (i, 0, 0),
+                (1, orows, p), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, ATTR_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (cp // CHUNK, ATTR_ROWS, CHUNK), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows, cp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

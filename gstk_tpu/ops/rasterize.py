@@ -289,47 +289,52 @@ def _make_composite_pallas(
     tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool
 ):
     """Pallas-kernel-backed compositing with the same custom-VJP contract as
-    the pure-JAX path. Takes the *unpadded* sorted intersection list and does
-    alignment-padding + attribute packing in one fused gather (see
-    docs/PERFORMANCE.md: gathers are row-count bound, so gid/eidx ride along
-    as extra attribute rows instead of separate gathers)."""
+    the pure-JAX path.
+
+    Attributes live in the kernels' entry-major ``(Cp, 128)`` lane layout
+    (see raster_pallas): the alignment-padding pack is two chained row
+    gathers whose 128-lane rows stay row-major end to end — no transposes,
+    no column-major gather pathology (docs/PERFORMANCE.md). The backward
+    per-Gaussian reduction reorders the (Cp, 128) gradient rows into
+    expansion (gaussian-major) order via the precomputed ``pos_padded``
+    permutation from binning, then two-level prefix sums + boundary
+    differences replace CUDA's atomicAdd (backward.cu:283-300)."""
     from gstk_tpu.ops import raster_pallas as rp
 
     assert block_width == 16, "Pallas rasterizer assumes 16x16 tiles"
-    assert ch <= rp.OUT_ROWS - 1
-    GID_ROW, EIDX_ROW = rp.ATTR_ROWS - 2, rp.ATTR_ROWS - 1
-    assert 6 + ch <= GID_ROW
+    assert 6 + ch <= rp.ATTR_W
+    used = 6 + ch
+    orows = rp.out_rows(ch)
 
-    def pack_padded(
-        xys, conics, colors, opacities, sorted_gids, expansion_ids, tile_bins
-    ):
-        """Returns (attr (Cp, ATTR_ROWS) entry-major, padded_bins (T, 2))."""
+    def pack_padded(xys, conics, colors, opacities, sorted_gids, tile_bins):
+        """Returns (attr (Cp, ATTR_W) entry-major, padded_bins (T, 2))."""
         n = xys.shape[0]
         cap = sorted_gids.shape[0]
         num_tiles = tile_bins.shape[0]
         align = rp.CHUNK
         padded_cap = cap + num_tiles * align
 
-        gid_c = jnp.minimum(sorted_gids, n - 1)
-        pad_cols = GID_ROW - 6 - ch
+        # Row n is all-zero: binning's sentinel gid (== n) and the padding
+        # slots below index it directly, so no post-gather select pass is
+        # needed (a separate where() on (Cp, 128) costs ~2 ms of pure
+        # bandwidth in step traces).
         base = jnp.concatenate(
             [
                 xys,
                 conics,
                 opacities[:, None],
                 colors,
-                jnp.zeros((n, pad_cols), jnp.float32),
+                jnp.zeros((n, rp.ATTR_W - used), jnp.float32),
             ],
             axis=1,
-        )  # (N, GID_ROW)
-        attr_sorted = jnp.concatenate(
-            [
-                base[gid_c],
-                sorted_gids.astype(jnp.float32)[:, None],
-                expansion_ids.astype(jnp.float32)[:, None],
-            ],
-            axis=1,
-        )  # (cap, ATTR_ROWS)
+        )  # (N, ATTR_W)
+        base = jnp.concatenate(
+            [base, jnp.zeros((1, rp.ATTR_W), jnp.float32)], axis=0
+        )
+        gid_ext = jnp.concatenate(
+            [sorted_gids, jnp.full((1,), n, jnp.int32)]
+        )
+        attr_sorted = base[gid_ext]  # (cap + 1, ATTR_W); row cap is zeros
 
         counts = tile_bins[:, 1] - tile_bins[:, 0]
         padded_counts = ((counts + align - 1) // align) * align
@@ -341,37 +346,21 @@ def _make_composite_pallas(
         end_j = _segment_constant(tile_bins[:, 1], cum, padded_cap)
         src = j + delta_j
         valid = (src < end_j) & (j < cum[-1])
-        src_c = jnp.clip(src, 0, cap - 1)
-        fill = jnp.zeros((rp.ATTR_ROWS,), jnp.float32).at[GID_ROW].set(
-            float(n)
-        )
-        # The barrier stops layout assignment from propagating the pallas
-        # operand's column-major layout into the gather (a {0,1}-layout
-        # gather writes 16-float columns at ~20 GB/s; row-major + explicit
-        # block transpose is ~4x faster in step traces).
-        attr_p = jax.lax.optimization_barrier(
-            jnp.where(valid[:, None], attr_sorted[src_c], fill)
-        )
+        src_z = jnp.where(valid, jnp.clip(src, 0, cap - 1), cap)
+        # the barrier keeps the two gathers from fusing into one
+        # (table-side) gather with a column-major output
+        attr_p = jax.lax.optimization_barrier(attr_sorted)[src_z]
         padded_bins = jnp.stack(
             [padded_start, padded_start + counts], axis=-1
         )
         return attr_p, padded_bins
 
-    def _forward(xys, conics, colors, opacities, sorted_gids, expansion_ids,
-                 tile_bins):
+    def _forward(xys, conics, colors, opacities, sorted_gids, tile_bins):
         attr, padded_bins = pack_padded(
-            xys, conics, colors, opacities, sorted_gids, expansion_ids,
-            tile_bins,
+            xys, conics, colors, opacities, sorted_gids, tile_bins
         )
-        # Kernels consume the block-transposed view (Cp/128, 16, 128):
-        # whole leading-index blocks DMA cleanly (Mosaic cannot slice
-        # 16-wide lane dims) and the batched 128x16 transposes relayout far
-        # faster than one big fused transposed-layout gather.
-        cp = attr.shape[0]
-        attr_bt = attr.reshape(cp // rp.CHUNK, rp.CHUNK, rp.ATTR_ROWS)
-        attr_bt = jnp.swapaxes(attr_bt, 1, 2)
         packed = rp.composite_tiles_fwd(
-            attr_bt, padded_bins, tile_bounds, block_width, ch=ch,
+            attr, padded_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
         )
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
@@ -380,61 +369,46 @@ def _make_composite_pallas(
 
     @jax.custom_vjp
     def composite(
-        xys, conics, colors, opacities, sorted_gids, expansion_ids,
+        xys, conics, colors, opacities, sorted_gids, pos_padded,
         tile_bins, counts,
     ):
         acc, final_t, *_ = _forward(
-            xys, conics, colors, opacities, sorted_gids, expansion_ids,
-            tile_bins,
+            xys, conics, colors, opacities, sorted_gids, tile_bins
         )
         return acc, final_t
 
     def fwd(
-        xys, conics, colors, opacities, sorted_gids, expansion_ids,
+        xys, conics, colors, opacities, sorted_gids, pos_padded,
         tile_bins, counts,
     ):
         acc, final_t, attr, padded_bins, packed = _forward(
-            xys, conics, colors, opacities, sorted_gids, expansion_ids,
-            tile_bins,
+            xys, conics, colors, opacities, sorted_gids, tile_bins
         )
-        n = xys.shape[0]
         cap = sorted_gids.shape[0]
-        return (acc, final_t), (attr, padded_bins, counts, packed, n, cap)
+        return (acc, final_t), (
+            attr, padded_bins, counts, packed, pos_padded, cap
+        )
 
     def bwd(res, cts):
-        attr, padded_bins, counts, packed, n, cap = res
+        attr, padded_bins, counts, packed, pos_padded, cap = res
         g_acc, g_final_t = cts
         p = block_width * block_width
         num_tiles = tile_bounds[0] * tile_bounds[1]
-        ct_packed = jnp.zeros((num_tiles, rp.OUT_ROWS, p), jnp.float32)
+        ct_packed = jnp.zeros((num_tiles, orows, p), jnp.float32)
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
-        cp = attr.shape[0]
-        attr_bt = jnp.swapaxes(
-            attr.reshape(cp // rp.CHUNK, rp.CHUNK, rp.ATTR_ROWS), 1, 2
-        )
-        g_bt = rp.composite_tiles_bwd(
-            attr_bt, padded_bins, packed, ct_packed, tile_bounds,
+        g_pad = rp.composite_tiles_bwd(
+            attr, padded_bins, packed, ct_packed, tile_bounds,
             block_width, ch=ch, interpret=interpret,
-        )  # (Cp/128, 16, 128)
-        g_attr = jnp.swapaxes(g_bt, 1, 2).reshape(cp, rp.ATTR_ROWS)
-        gid_p = attr[:, GID_ROW].astype(jnp.int32)
-        eidx_p = attr[:, EIDX_ROW].astype(jnp.int32)
-        real = gid_p < n
-        g_rows = jnp.where(real[:, None], g_attr, 0.0)
+        )  # (attr_rows, Cp) attr-major compact
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
-        # entries measured ~25 ms): reorder gradients into expansion
-        # (gaussian-major) order — live expansion ids always form a
-        # contiguous prefix, so one sort of (eidx, position) aligns row e
-        # with expansion index e — then an inclusive cumsum + boundary
-        # differences yields every Gaussian's sum (~3 ms total).
-        eidx_key = jnp.where(real, eidx_p, cp)
-        _, pos = jax.lax.sort(
-            (eidx_key, jnp.arange(cp, dtype=jnp.int32)), num_keys=1
-        )
-        # (cap, ATTR_ROWS) — fast row gather; barrier keeps it row-major
-        # (see pack_padded note on {0,1}-layout gathers)
-        g_e = jax.lax.optimization_barrier(g_rows[pos[:cap]])
+        # entries measured ~25 ms): transpose the kernel's compact attr-major
+        # gradients (~1 ms relayout; 8x fewer bytes than entry-major 128-lane
+        # rows), reorder rows into expansion (gaussian-major) order via the
+        # precomputed permutation (binning.padded_positions, one cap-sized
+        # sort), then an inclusive cumsum + boundary differences yields
+        # every Gaussian's sum, scatter-free.
+        g_e = jax.lax.optimization_barrier(g_pad.T[pos_padded])[:, :used]
 
         # Two-level prefix sums: a single f32 running sum over ~1M entries
         # suffers catastrophic cancellation when a Gaussian's own sum is tiny
@@ -444,13 +418,13 @@ def _make_composite_pallas(
         B = 256
         nb = cap // B
         assert nb * B == cap, "isect capacity must be a multiple of 256"
-        rows = g_e.shape[1]
-        xb = g_e.reshape(nb, B, rows)
+        xb = g_e.reshape(nb, B, used)
         local = jnp.cumsum(xb, axis=1)  # within-block inclusive
         block_prefix = jnp.concatenate(
-            [jnp.zeros((1, rows), g_e.dtype), jnp.cumsum(local[:, -1, :], axis=0)],
+            [jnp.zeros((1, used), g_e.dtype),
+             jnp.cumsum(local[:, -1, :], axis=0)],
             axis=0,
-        )  # (nb+1, rows) exclusive prefix of block totals
+        )  # (nb+1, used) exclusive prefix of block totals
 
         def prefix_at(idx):  # exclusive prefix sum of g_e[:idx], idx in [0, cap]
             b = idx // B
@@ -466,12 +440,12 @@ def _make_composite_pallas(
         cum = _cumsum_1d(counts.astype(jnp.int32))
         hi = jnp.clip(cum, 0, cap)
         lo = jnp.clip(cum - counts, 0, cap)
-        per_gauss = prefix_at(hi) - prefix_at(lo)  # (n, ATTR_ROWS)
+        per_gauss = prefix_at(hi) - prefix_at(lo)  # (n, used)
         int_zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (
             per_gauss[:, 0:2],
             per_gauss[:, 2:5],
-            per_gauss[:, 6 : 6 + ch],
+            per_gauss[:, 6:used],
             per_gauss[:, 5],
             int_zero(jnp.zeros((cap,), jnp.int32)),
             int_zero(jnp.zeros((cap,), jnp.int32)),
@@ -592,20 +566,26 @@ def rasterize(
         config.isect_capacity,
     )
     backend = _resolve_backend(config)
-    if colors.shape[-1] > 7 and backend in ("pallas", "pallas_interpret"):
-        # The packed kernel layout holds at most 7 channels (OUT_ROWS - 1
-        # for final_t; 6 + ch attribute rows before gid/eidx). Wide
-        # ND-channel renders route to the portable path, the analog of the
-        # reference's 3-ch vs ND kernel switch (rasterize.py:145-148).
-        backend = "jax"
     if backend in ("pallas", "pallas_interpret"):
+        from gstk_tpu.ops import raster_pallas as rp
+
+        if colors.shape[-1] > rp.ATTR_W - 6:
+            # One 128-lane attribute row holds up to 122 channels; wider
+            # ND renders route to the portable path (the analog of the
+            # reference's 3-ch vs ND kernel switch, rasterize.py:145-148,
+            # but with a far higher threshold).
+            backend = "jax"
+    if backend in ("pallas", "pallas_interpret"):
+        from gstk_tpu.ops.binning import padded_positions
+
+        pos_padded = padded_positions(isect, num_tiles, rp.CHUNK)
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,
-            isect.expansion_ids, isect.tile_bins,
+            pos_padded, isect.tile_bins,
             num_tiles_hit.astype(jnp.int32),
         )
     else:

@@ -9,9 +9,8 @@ from gstk_tpu.ops.binning import bin_gaussians, pad_tile_ranges
 from gstk_tpu.ops.oracle import rasterize_np
 from gstk_tpu.ops.projection import project_gaussians
 from gstk_tpu.ops.raster_pallas import (
-    ATTR_ROWS,
+    ATTR_W,
     CHUNK,
-    OUT_ROWS,
     composite_tiles_fwd,
 )
 
@@ -36,12 +35,14 @@ def _prep(rng, n=300, img_w=64, img_h=48, opaque=False):
     num_tiles = tiles[0] * tiles[1]
     padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
     gid = jnp.minimum(padded.gaussian_ids, n - 1)
-    # entry-major (Cp, ATTR_ROWS) attribute layout
-    attr = jnp.zeros((padded.gaussian_ids.shape[0], ATTR_ROWS), jnp.float32)
+    # entry-major 128-lane (Cp, ATTR_W) attribute layout
+    attr = jnp.zeros((padded.gaussian_ids.shape[0], ATTR_W), jnp.float32)
     attr = attr.at[:, 0:2].set(proj.xys[gid])
     attr = attr.at[:, 2:5].set(proj.conics[gid])
     attr = attr.at[:, 5].set(jnp.asarray(opacities)[gid])
     attr = attr.at[:, 6:9].set(jnp.asarray(colors)[gid])
+    real = (padded.gaussian_ids < n)[:, None]
+    attr = jnp.where(real, attr, 0.0)
     return cam, proj, colors, opacities, tiles, isect, padded, attr
 
 
@@ -61,10 +62,8 @@ def test_pallas_fwd_matches_oracle(rng, opaque):
     cam, proj, colors, opacities, tiles, isect, padded, attr = _prep(
         rng, opaque=opaque
     )
-    cp = attr.shape[0]
-    attr_bt = jnp.swapaxes(attr.reshape(cp // CHUNK, CHUNK, ATTR_ROWS), 1, 2)
     packed = composite_tiles_fwd(
-        attr_bt, padded.tile_bins, tiles, 16, ch=3, interpret=True
+        attr, padded.tile_bins, tiles, 16, ch=3, interpret=True
     )
     img, final_t = _untile(packed, tiles, cam["img_h"], cam["img_w"], 3)
 
