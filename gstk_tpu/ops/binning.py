@@ -140,19 +140,26 @@ def bin_gaussians(
     bbox_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
     bits_x = int(tile_bounds[0] + 1).bit_length()
     bits_y = int(tile_bounds[1] + 1).bit_length()
-    assert bits_x + 21 <= 32, "image too wide for packed binning"
-    assert capacity <= 1 << 20, "packed binning assumes capacity <= 2^20"
+    # any slot j < capacity belongs to a gaussian with cum_excl <= j, so
+    # only ceil_log2(capacity) low bits of cum_excl are ever needed
+    bits_cum = max(1, (capacity - 1).bit_length())
     seg = lambda v: _segment_constant(v, cum, capacity)
-    packed_a = (cum_excl << bits_x) | bbox_w
-    packed_b = (tile_min[:, 1] << bits_x) | tile_min[:, 0]
-    a_s = seg(packed_a)
-    b_s = seg(packed_b)
     u = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
     s = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
-    cum_excl_s = s((u(a_s) >> bits_x) & jnp.uint32((1 << 21) - 1))
-    bw_i = s(u(a_s) & jnp.uint32((1 << bits_x) - 1))
-    tminy_s = s((u(b_s) >> bits_x) & jnp.uint32((1 << bits_y) - 1))
-    tminx_s = s(u(b_s) & jnp.uint32((1 << bits_x) - 1))
+    if bits_cum + bits_x <= 32 and bits_x + bits_y <= 32:
+        packed_a = (cum_excl << bits_x) | bbox_w
+        packed_b = (tile_min[:, 1] << bits_x) | tile_min[:, 0]
+        a_s = seg(packed_a)
+        b_s = seg(packed_b)
+        cum_excl_s = s((u(a_s) >> bits_x) & jnp.uint32((1 << bits_cum) - 1))
+        bw_i = s(u(a_s) & jnp.uint32((1 << bits_x) - 1))
+        tminy_s = s((u(b_s) >> bits_x) & jnp.uint32((1 << bits_y) - 1))
+        tminx_s = s(u(b_s) & jnp.uint32((1 << bits_x) - 1))
+    else:  # giant image or capacity: one seg pass per column
+        cum_excl_s = seg(cum_excl)
+        bw_i = seg(bbox_w)
+        tminy_s = seg(tile_min[:, 1])
+        tminx_s = seg(tile_min[:, 0])
     pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
     depth_s = jax.lax.bitcast_convert_type(
         seg(

@@ -55,6 +55,13 @@ class RasterizeConfig:
     # "jax" / "pallas" force; "pallas_interpret" runs the kernels in the
     # Pallas interpreter (CPU testing).
     backend: str = "auto"
+    # Horizontal band count. Each band of tile rows is binned, sorted and
+    # composited independently with its own ``isect_capacity`` budget —
+    # the scale-out path past the TPU sort cliff at 2^20 entries
+    # (docs/PERFORMANCE.md): a 1080p/4K render or a very dense training
+    # scene splits into bands instead of growing one giant sort. 0 = auto
+    # (one band per ~640k pixels). Gradients sum across bands by linearity.
+    bands: int = 1
 
 
 def _resolve_backend(config: RasterizeConfig) -> str:
@@ -551,20 +558,6 @@ def rasterize(
     is non-differentiable (as in the reference).
     """
     bw = config.block_width
-    tile_bounds = (
-        (img_width + bw - 1) // bw,
-        (img_height + bw - 1) // bw,
-    )
-    num_tiles = tile_bounds[0] * tile_bounds[1]
-    isect = bin_gaussians(
-        jax.lax.stop_gradient(xys),
-        jax.lax.stop_gradient(depths),
-        radii,
-        num_tiles_hit,
-        tile_bounds,
-        bw,
-        config.isect_capacity,
-    )
     backend = _resolve_backend(config)
     if backend in ("pallas", "pallas_interpret"):
         from gstk_tpu.ops import raster_pallas as rp
@@ -575,7 +568,85 @@ def rasterize(
             # reference's 3-ch vs ND kernel switch, rasterize.py:145-148,
             # but with a far higher threshold).
             backend = "jax"
+
+    tiles_y_total = (img_height + bw - 1) // bw
+    bands = config.bands
+    if bands == 0:  # auto: one band per ~640k pixels
+        bands = max(1, -(-img_height * img_width // 640_000))
+    bands = min(bands, tiles_y_total)
+    rows_per = -(-tiles_y_total // bands)
+
+    band_imgs, band_ts, band_isects = [], [], []
+    for b in range(bands):
+        r0 = b * rows_per
+        rows_b = min(rows_per, tiles_y_total - r0)
+        if rows_b <= 0:
+            break
+        y0 = r0 * bw
+        band_h = min(img_height - y0, rows_b * bw)
+        if bands == 1:
+            xys_b, counts_b = xys, num_tiles_hit.astype(jnp.int32)
+        else:
+            xys_b = xys - jnp.asarray([0.0, float(y0)], jnp.float32)
+            from gstk_tpu.ops.projection import tile_bbox
+
+            tmin, tmax = tile_bbox(
+                jax.lax.stop_gradient(xys_b), radii.astype(jnp.float32),
+                (((img_width + bw - 1) // bw), rows_b), bw,
+            )
+            area = (tmax[:, 0] - tmin[:, 0]) * (tmax[:, 1] - tmin[:, 1])
+            counts_b = jnp.where(radii > 0, area, 0).astype(jnp.int32)
+        img_b, t_b, ni = _rasterize_band(
+            xys_b, depths, radii, conics, counts_b, colors, opacities,
+            band_h, img_width, config, backend,
+        )
+        band_imgs.append(img_b)
+        band_ts.append(t_b)
+        band_isects.append(ni)
+
+    img = band_imgs[0] if len(band_imgs) == 1 else jnp.concatenate(
+        band_imgs, axis=0
+    )
+    final_t_img = band_ts[0] if len(band_ts) == 1 else jnp.concatenate(
+        band_ts, axis=0
+    )
+    if background is not None:
+        img = img + final_t_img[..., None] * background
+    alpha = 1.0 - final_t_img
+    if return_info:
+        # max over bands: the growth signal for the static capacity
+        n = band_isects[0]
+        for x in band_isects[1:]:
+            n = jnp.maximum(n, x)
+        return img, alpha, {"num_intersects": n}
+    return img, alpha
+
+
+def _rasterize_band(
+    xys, depths, radii, conics, counts, colors, opacities,
+    img_height, img_width, config, backend,
+):
+    """Bin + composite one horizontal band (the whole image when bands=1).
+
+    ``xys`` are in band-local pixel coordinates; ``counts`` are the
+    band-clipped per-Gaussian tile counts."""
+    bw = config.block_width
+    tile_bounds = (
+        (img_width + bw - 1) // bw,
+        (img_height + bw - 1) // bw,
+    )
+    num_tiles = tile_bounds[0] * tile_bounds[1]
+    isect = bin_gaussians(
+        jax.lax.stop_gradient(xys),
+        jax.lax.stop_gradient(depths),
+        radii,
+        counts,
+        tile_bounds,
+        bw,
+        config.isect_capacity,
+    )
     if backend in ("pallas", "pallas_interpret"):
+        from gstk_tpu.ops import raster_pallas as rp
         from gstk_tpu.ops.binning import padded_positions
 
         pos_padded = padded_positions(isect, num_tiles, rp.CHUNK)
@@ -585,8 +656,7 @@ def rasterize(
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,
-            pos_padded, isect.tile_bins,
-            num_tiles_hit.astype(jnp.int32),
+            pos_padded, isect.tile_bins, counts,
         )
     else:
         composite = _make_composite(tile_bounds, bw, config.chunk_size)
@@ -599,9 +669,4 @@ def rasterize(
     final_t_img = _tiles_to_image(
         final_t[..., None], tile_bounds, bw, img_height, img_width
     )[..., 0]
-    if background is not None:
-        img = img + final_t_img[..., None] * background
-    alpha = 1.0 - final_t_img
-    if return_info:
-        return img, alpha, {"num_intersects": isect.num_intersects}
-    return img, alpha
+    return img, final_t_img, isect.num_intersects

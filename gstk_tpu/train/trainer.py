@@ -318,16 +318,32 @@ class Trainer:
                     max(self.datamanager.image_size),
                 )
             )
+        # num_intersects is the per-band max; grow the static buffer with
+        # headroom, but never past the 2^20 sort ceiling
+        # (docs/PERFORMANCE.md: lax.sort falls off a cliff at 2^21) —
+        # beyond it, split the image into more bands instead.
         n_isect = int(metrics.get("num_intersects", 0))
         if n_isect > 0.9 * self.raster_cfg.isect_capacity:
-            new_isect = _round_up_pow2(int(n_isect * 2))
-            print(
-                f"Growing intersection capacity "
-                f"{self.raster_cfg.isect_capacity} -> {new_isect}"
-            )
-            self.raster_cfg = dataclasses.replace(
-                self.raster_cfg, isect_capacity=new_isect
-            )
+            max_cap = 1 << 20
+            new_isect = min(_round_up_pow2(int(n_isect * 2)), max_cap)
+            if new_isect > self.raster_cfg.isect_capacity:
+                print(
+                    f"Growing intersection capacity "
+                    f"{self.raster_cfg.isect_capacity} -> {new_isect}"
+                )
+                self.raster_cfg = dataclasses.replace(
+                    self.raster_cfg, isect_capacity=new_isect
+                )
+            else:
+                new_bands = max(self.raster_cfg.bands, 1) + 1
+                print(
+                    f"Intersections ({n_isect}) near the sort ceiling at "
+                    f"capacity {self.raster_cfg.isect_capacity}; splitting "
+                    f"into {new_bands} rasterization bands"
+                )
+                self.raster_cfg = dataclasses.replace(
+                    self.raster_cfg, bands=new_bands
+                )
             self._step_cache.clear()
 
     # -- main loop ---------------------------------------------------------

@@ -90,3 +90,62 @@ def test_train_step_on_tpu():
     assert np.isfinite(float(metrics["loss"]))
     state, metrics = step(state, cam, gt, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_1080p_banded_render_on_tpu():
+    """1920x1080 with millions of intersections through the kernel path:
+    auto-banding keeps each band under the 2^20 sort ceiling with no
+    truncation (VERDICT round-1 item 4a)."""
+    import jax.numpy as jnp
+
+    from tests._scenes import make_camera, make_gaussians
+    from gstk_tpu.ops.projection import project_gaussians
+    from gstk_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    rng = np.random.default_rng(3)
+    cam = make_camera(img_w=1920, img_h=1080)
+    means, scales, quats, colors, opacities = make_gaussians(rng, 150_000)
+    scales = (scales * 2.0).astype(np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
+        jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["img_h"], cam["img_w"],
+    )
+    total = int(np.asarray(jnp.sum(proj.num_tiles_hit)))
+    assert total > 2_000_000, f"scene too sparse: {total}"
+
+    cfg = RasterizeConfig(isect_capacity=1 << 20, backend="pallas", bands=8)
+    img, alpha, info = jax.jit(
+        lambda *a: rasterize(
+            *a, img_height=1080, img_width=1920,
+            background=jnp.zeros(4), config=cfg, return_info=True,
+        )
+    )(
+        proj.xys, proj.depths, proj.radii, proj.conics, proj.num_tiles_hit,
+        jnp.concatenate(
+            [jnp.asarray(colors), proj.depths[:, None]], axis=-1
+        ),
+        jnp.asarray(opacities),
+    )
+    per_band_max = int(info["num_intersects"])
+    assert per_band_max <= (1 << 20), "band overflowed its capacity"
+    assert np.isfinite(np.asarray(img)).all()
+    assert img.shape == (1080, 1920, 4)
+    # parity vs the portable path on the same scene
+    cfg_j = RasterizeConfig(isect_capacity=1 << 20, backend="jax", bands=2)
+    img_j, _ = jax.jit(
+        lambda *a: rasterize(
+            *a, img_height=1080, img_width=1920,
+            background=jnp.zeros(4), config=cfg_j,
+        )
+    )(
+        proj.xys, proj.depths, proj.radii, proj.conics, proj.num_tiles_hit,
+        jnp.concatenate(
+            [jnp.asarray(colors), proj.depths[:, None]], axis=-1
+        ),
+        jnp.asarray(opacities),
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img_j), rtol=1e-3,
+        atol=1e-3 * max(1.0, float(np.abs(np.asarray(img_j)).max())),
+    )

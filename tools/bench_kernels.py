@@ -1,0 +1,188 @@
+"""Standalone timing for the Pallas compositing kernels at the bench
+operating point (800x800, ~100k Gaussians, ~0.9M intersections).
+
+Builds the same scene as bench.py, runs projection+binning+pack once, then
+times composite_tiles_fwd / composite_tiles_bwd in isolation under the
+profiler so kernel changes can be iterated without recompiling the whole
+train step.
+
+Usage: python tools/bench_kernels.py [--iters 10]
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gstk_tpu.core.cameras import Camera
+    from gstk_tpu.ops import raster_pallas as rp
+    from gstk_tpu.ops.binning import bin_gaussians, padded_positions
+    from gstk_tpu.ops.projection import project_gaussians
+    from gstk_tpu.ops.rasterize import _make_composite_pallas
+
+    img_h = img_w = 800
+    n = 100_000
+    cap_n = 1 << 17
+    isect_cap = 1 << 20
+    ch = 4
+
+    rng = np.random.default_rng(0)
+    # camera at origin looking along +z in view space: the projection path
+    # culls z <= near, so place points at positive view depth
+    pts = rng.uniform(-3, 3, (cap_n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(2.0, 9.0, cap_n)
+    scales = np.exp(rng.uniform(-4.5, -2.5, (cap_n, 3)).astype(np.float32))
+    quats = rng.normal(size=(cap_n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    op = rng.uniform(0.3, 0.9, cap_n).astype(np.float32)
+    colors = rng.uniform(0, 1, (cap_n, ch)).astype(np.float32)
+    alive = np.arange(cap_n) < n
+    op = np.where(alive, op, 0.0).astype(np.float32)
+
+    viewmat = np.eye(4, dtype=np.float32)
+    fx = fy = 1111.0
+    cx, cy = img_w / 2, img_h / 2
+    # OpenGL-style projection composition used by the models
+    import math
+
+    fovx = 2 * math.atan(img_w / (2 * fx))
+    fovy = 2 * math.atan(img_h / (2 * fy))
+    t = math.tan(fovy / 2) * 0.01
+    r = math.tan(fovx / 2) * 0.01
+    P = np.zeros((4, 4), np.float32)
+    P[0, 0] = 0.01 / r
+    P[1, 1] = 0.01 / t
+    P[2, 2] = (1000.01) / (1000 - 0.01)
+    P[2, 3] = -2 * 1000 * 0.01 / (1000 - 0.01)
+    P[3, 2] = 1.0
+    fullmat = P @ viewmat
+
+    proj = project_gaussians(
+        jnp.asarray(pts), jnp.asarray(scales), 1.0, jnp.asarray(quats),
+        jnp.asarray(viewmat[:3]), jnp.asarray(fullmat),
+        fx, fy, cx, cy, img_h, img_w,
+    )
+    tiles = ((img_w + 15) // 16, (img_h + 15) // 16)
+    isect = bin_gaussians(
+        proj.xys, proj.depths, proj.radii, proj.num_tiles_hit,
+        tiles, 16, isect_cap,
+    )
+    num_tiles = tiles[0] * tiles[1]
+    print("num_intersects:", int(isect.num_intersects), file=sys.stderr)
+
+    # Build padded attrs exactly as the composite path does.
+    composite = _make_composite_pallas(tiles, 16, ch, interpret=False)
+    pos_padded = padded_positions(isect, num_tiles, rp.CHUNK)
+
+    # pack once (jit the internals through the public fwd)
+    from gstk_tpu.ops.rasterize import _segment_constant
+
+    @jax.jit
+    def pack(xys, conics, cols, opac, sorted_gids, tile_bins):
+        used = 6 + ch
+        base = jnp.concatenate(
+            [xys, conics, opac[:, None], cols,
+             jnp.zeros((xys.shape[0], rp.ATTR_W - used), jnp.float32)], axis=1)
+        base = jnp.concatenate(
+            [base, jnp.zeros((1, rp.ATTR_W), jnp.float32)], axis=0)
+        gid_ext = jnp.concatenate(
+            [sorted_gids, jnp.full((1,), xys.shape[0], jnp.int32)])
+        attr_sorted = base[gid_ext]
+        counts = tile_bins[:, 1] - tile_bins[:, 0]
+        align = rp.CHUNK
+        padded_counts = ((counts + align - 1) // align) * align
+        cum = jnp.cumsum(padded_counts).astype(jnp.int32)
+        padded_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
+        delta = tile_bins[:, 0] - padded_start
+        cap = sorted_gids.shape[0]
+        padded_cap = cap + num_tiles * align
+        j = jnp.arange(padded_cap, dtype=jnp.int32)
+        delta_j = _segment_constant(delta, cum, padded_cap)
+        end_j = _segment_constant(tile_bins[:, 1], cum, padded_cap)
+        src = j + delta_j
+        valid = (src < end_j) & (j < cum[-1])
+        src_z = jnp.where(valid, jnp.clip(src, 0, cap - 1), cap)
+        attr_p = attr_sorted[src_z]
+        padded_bins = jnp.stack([padded_start, padded_start + counts], axis=-1)
+        return attr_p, padded_bins
+
+    attr, padded_bins = pack(
+        proj.xys, proj.conics, jnp.asarray(colors), jnp.asarray(op),
+        isect.gaussian_ids, isect.tile_bins,
+    )
+    jax.block_until_ready(attr)
+
+    fwd = lambda a, b: rp.composite_tiles_fwd(a, b, tiles, 16, ch=ch)
+    packed = fwd(attr, padded_bins)
+    jax.block_until_ready(packed)
+    ct = jnp.ones_like(packed)
+    bwd = lambda a, b, f, c: rp.composite_tiles_bwd(
+        a, b, f, c, tiles, 16, ch=ch)
+    g = bwd(attr, padded_bins, packed, ct)
+    jax.block_until_ready(g)
+
+    def timeit(name, fn, *a):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name}: {dt:.3f} ms (wall; device truth below)")
+
+    timeit("fwd", fwd, attr, padded_bins)
+    timeit("bwd", bwd, attr, padded_bins, packed, ct)
+
+    tdir = "/tmp/gstk_ktrace"
+    os.makedirs(tdir, exist_ok=True)
+    with jax.profiler.trace(tdir):
+        outs = []
+        for _ in range(args.iters):
+            p = fwd(attr, padded_bins)
+            outs.append(bwd(attr, padded_bins, p, ct))
+        jax.block_until_ready(outs)
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(tdir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    agg = defaultdict(lambda: [0.0, 0])
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                nm = plane.event_metadata[ev.metadata_id].name
+                key = "fwd" if "composite_tiles_fwd" in nm else (
+                    "bwd" if "composite_tiles_bwd" in nm else "other")
+                agg[key][0] += ev.duration_ps / 1e9
+                agg[key][1] += 1
+    for k in ("fwd", "bwd"):
+        ms, cnt = agg[k]
+        if cnt:
+            print(f"device {k}: {ms/cnt:.3f} ms  (x{cnt})")
+
+
+if __name__ == "__main__":
+    main()
