@@ -42,6 +42,12 @@ class ProcessConfig:
     camera_model: str = "OPENCV"
     depth_data: Optional[Path] = None  # sensor depth dir (16-bit mm PNGs)
     mono_depth_data: Optional[Path] = None  # mono-depth estimate dir
+    # run monocular depth estimation on the processed images (reference
+    # --using-est-depth, process_data_utils.py:453-530); requires a real
+    # depth model unless allow_toy_depth opts into the test placeholder
+    using_est_depth: bool = False
+    depth_method: str = "auto"
+    allow_toy_depth: bool = False
     skip_colmap: bool = False
     colmap_matcher: str = "sequential"  # sequential | exhaustive
     gpu: bool = False
@@ -190,11 +196,19 @@ def process_images(config: ProcessConfig) -> Path:
             / im.name.replace(".jpg", ".png").replace("frame_", "depth_")
             for im_id, im in images.items()
         }
-    elif config.mono_depth_data is not None:
+    elif config.mono_depth_data is not None or config.using_est_depth:
         depth_out = out / "depths"
         depth_out.mkdir(exist_ok=True)
-        for p in Path(config.mono_depth_data).iterdir():
-            shutil.copy(p, depth_out / p.name)
+        if config.mono_depth_data is not None:
+            for p in Path(config.mono_depth_data).iterdir():
+                shutil.copy(p, depth_out / p.name)
+        else:
+            from gstk_tpu.process_data.mono_depth import estimate_depths
+
+            estimate_depths(
+                out / "images", depth_out, method=config.depth_method,
+                allow_toy=config.allow_toy_depth,
+            )
         lookup = _depth_lookup(depth_out)
         scales, shifts = align_mono_depth(
             images, points, lookup, cam.width, cam.height

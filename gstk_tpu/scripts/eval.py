@@ -111,6 +111,16 @@ def main(argv=None) -> None:
         None if args.skip_lpips
         else compute_lpips(pairs, weights_path=args.lpips_weights)
     )
+    if lpips is None and not args.skip_lpips:
+        import sys
+
+        print(
+            "WARNING: LPIPS skipped — no VGG16/LPIPS weights available. "
+            "Supply --lpips-weights <npz> or set $GSTK_LPIPS_WEIGHTS "
+            "(convert a torch checkpoint with "
+            "tools/convert_lpips_weights.py; see docs/WEIGHTS.md).",
+            file=sys.stderr,
+        )
     results = {
         "experiment_name": config.experiment_name,
         "method_name": config.method_name,

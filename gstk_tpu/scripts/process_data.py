@@ -29,6 +29,16 @@ def main(argv=None) -> None:
         choices=["sequential", "exhaustive"],
     )
     p.add_argument("--gpu", action="store_true")
+    p.add_argument(
+        "--using-est-depth", action="store_true",
+        help="run monocular depth estimation (needs a real depth model; "
+        "see docs/WEIGHTS.md)",
+    )
+    p.add_argument("--depth-method", type=str, default="auto")
+    p.add_argument(
+        "--allow-toy-depth", action="store_true",
+        help="knowingly use the placeholder gradient depth (tests only)",
+    )
     args = parser.parse_args(argv)
 
     process_images(
@@ -39,6 +49,9 @@ def main(argv=None) -> None:
             camera_model=args.camera_model,
             depth_data=args.depth_data,
             mono_depth_data=args.mono_depth_data,
+            using_est_depth=args.using_est_depth,
+            depth_method=args.depth_method,
+            allow_toy_depth=args.allow_toy_depth,
             skip_colmap=args.skip_colmap,
             colmap_matcher=args.matching_method,
             gpu=args.gpu,

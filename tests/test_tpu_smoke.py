@@ -105,7 +105,7 @@ def test_1080p_banded_render_on_tpu():
     rng = np.random.default_rng(3)
     cam = make_camera(img_w=1920, img_h=1080)
     means, scales, quats, colors, opacities = make_gaussians(rng, 150_000)
-    scales = (scales * 2.0).astype(np.float32)
+    scales = (scales * 0.12).astype(np.float32)  # ~4.2M isects, worst band ~575k
     proj = project_gaussians(
         jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
         jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
@@ -132,7 +132,7 @@ def test_1080p_banded_render_on_tpu():
     assert np.isfinite(np.asarray(img)).all()
     assert img.shape == (1080, 1920, 4)
     # parity vs the portable path on the same scene
-    cfg_j = RasterizeConfig(isect_capacity=1 << 20, backend="jax", bands=2)
+    cfg_j = RasterizeConfig(isect_capacity=1 << 20, backend="jax", bands=8)
     img_j, _ = jax.jit(
         lambda *a: rasterize(
             *a, img_height=1080, img_width=1920,
