@@ -100,3 +100,47 @@ def data_parallel_train_step(train_step, mesh: Mesh):
         )(state, cameras, gt_images, keys, *extras)
 
     return sharded
+
+
+def local_mesh_size(mesh: Mesh) -> int:
+    """Number of this process's devices in the mesh (batch entries this
+    host contributes per step)."""
+    pid = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pid)
+
+
+def host_local_to_global(mesh: Mesh, tree):
+    """Assemble per-host batch shards into global jax.Arrays sharded on
+    DATA_AXIS — the multi-controller analog of DDP's per-rank batches
+    (reference scripts/train.py:60-118): each process supplies only its
+    local cameras; jax stitches the global batch without any transfer.
+    No-op (device_put-free) pass-through on a single process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def conv(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree.map(conv, tree)
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Replicate a host-identical pytree as global arrays over the mesh
+    (every process must hold the same values — true for deterministic
+    seeded init and for jitted updates of already-replicated state)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P())
+
+    def conv(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(conv, tree)

@@ -79,6 +79,11 @@ class TrainerConfig:
     raster_chunk: int = 32
     initial_capacity_headroom: float = 4.0
     capacity_growth: float = 1.5
+    # hard ceiling on Gaussian capacity: once reached, densification
+    # saturates gracefully (the static-shape refine drops children that
+    # do not fit) instead of growing into an HBM OOM. ~1.3M fits v5e's
+    # 16 GB alongside the rasterizer buffers at 800x800.
+    max_capacity: int = 1 << 21
     isect_capacity: int = 1 << 20
     load_dir: Optional[Path] = None
     enable_tensorboard: bool = False
@@ -122,6 +127,18 @@ class Trainer:
             initialize_distributed(
                 cfg.coordinator_address, cfg.num_processes, cfg.process_id
             )
+        # persistent compile cache: capacity growth retraces the step at new
+        # shapes mid-run; through the tunneled TPU compiler a warm cache
+        # turns those from minutes into ~1 s (docs/PERFORMANCE.md)
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.cache/jax_comp"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass
         self.run_dir = cfg.run_dir
         self.run_dir.mkdir(parents=True, exist_ok=True)
         # per-host camera sharding for multi-host data parallelism
@@ -189,9 +206,12 @@ class Trainer:
                 f"{self.gauss_mesh.devices.size} devices"
             )
         elif cfg.data_parallel == "auto" and jax.device_count() > 1:
-            from gstk_tpu.parallel.mesh import get_mesh
+            from gstk_tpu.parallel.mesh import get_mesh, replicate_global
 
             self.mesh = get_mesh()
+            # multi-controller: promote the (identically-seeded) host-local
+            # state to replicated global arrays so jit/shard_map accept it
+            self.state = replicate_global(self.mesh, self.state)
             print(
                 f"Data-parallel training over {self.mesh.devices.size} devices"
             )
@@ -289,8 +309,23 @@ class Trainer:
         num_alive = int(metrics.get("num_alive", 0))
         cap = state.scene.capacity
         if num_alive > 0.85 * cap:
-            new_cap = _round_up_pow2(int(cap * cfg.capacity_growth))
-            print(f"Growing Gaussian capacity {cap} -> {new_cap}")
+            new_cap = min(
+                _round_up_pow2(int(cap * cfg.capacity_growth)),
+                cfg.max_capacity,
+            )
+            if new_cap <= cap:
+                if not getattr(self, "_cap_warned", False):
+                    print(
+                        f"Gaussian capacity at max ({cap}); densification "
+                        "will saturate (children past capacity are dropped)"
+                    )
+                    self._cap_warned = True
+                new_cap = cap  # saturated: no resize
+            else:
+                print(f"Growing Gaussian capacity {cap} -> {new_cap}")
+        else:
+            new_cap = cap
+        if new_cap > cap:
             scene = grow_scene(state.scene, new_cap)
             pad = lambda x: jnp.pad(
                 x, [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
@@ -310,6 +345,10 @@ class Trainer:
                 )
 
                 self.state = shard_train_state(self.state, self.gauss_mesh)
+            if self.mesh is not None:
+                from gstk_tpu.parallel.mesh import replicate_global
+
+                self.state = replicate_global(self.mesh, self.state)
             self._step_cache.clear()
             self._refine_fn = jax.jit(
                 lambda s, step, k: refine(
@@ -378,7 +417,14 @@ class Trainer:
                         ),
                     )
             else:
-                n_dev = self.mesh.devices.size
+                # each process contributes only its local devices' cameras;
+                # host_local_to_global stitches the global DP batch
+                from gstk_tpu.parallel.mesh import (
+                    host_local_to_global,
+                    local_mesh_size,
+                )
+
+                n_dev = local_mesh_size(self.mesh)
                 picks = [self.datamanager.next_train() for _ in range(n_dev)]
                 parts = [
                     self._frame_to_device(f, d) for _, f in picks
@@ -407,12 +453,25 @@ class Trainer:
                     if parts[0][5] is not None
                     else None
                 )
-                keys = jax.random.split(k, n_dev)
+                # distinct per-global-position keys: every process derives
+                # the full global split and keeps its slice
+                g = self.mesh.devices.size
+                pid = jax.process_index()
+                keys = jax.random.split(k, g)[
+                    pid * n_dev : (pid + 1) * n_dev
+                ]
                 cam_indices = (
                     jnp.asarray([i for i, _ in picks], jnp.int32)
                     if use_cam_opt
                     else None
                 )
+                batch = host_local_to_global(
+                    self.mesh,
+                    (cameras, gts, keys, masks, depths, cam_indices,
+                     mscales, mshifts),
+                )
+                cameras, gts, keys, masks, depths, cam_indices, mscales, \
+                    mshifts = batch
                 with timer("train_iteration"):
                     self.state, metrics = step_fn(
                         self.state, cameras, gts, keys, masks, depths,
