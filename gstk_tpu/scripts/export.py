@@ -159,16 +159,35 @@ def export_offline_tsdf(args) -> None:
         jnp.asarray(np.stack(w2cs)),
         sdf_trunc=args.sdf_trunc,
     )
-    verts, faces, vcols = marching_tetrahedra(
-        np.asarray(vol.tsdf), np.asarray(vol.weights), np.asarray(vol.colors),
-        origin=np.asarray(vol.origin), voxel_size=vol.voxel_size,
-    )
+    if getattr(args, "meshing", "tetra") == "poisson":
+        # screened-Poisson indicator backend (reference exporter.py:216-325
+        # open3d Poisson option, re-formulated on the TSDF grid)
+        from gstk_tpu.exporter.poisson import poisson_mesh
+
+        verts, faces, vcols = poisson_mesh(
+            np.asarray(vol.tsdf), np.asarray(vol.weights),
+            np.asarray(vol.colors), origin=np.asarray(vol.origin),
+            voxel_size=vol.voxel_size, iters=args.poisson_iters,
+        )
+    else:
+        verts, faces, vcols = marching_tetrahedra(
+            np.asarray(vol.tsdf), np.asarray(vol.weights),
+            np.asarray(vol.colors),
+            origin=np.asarray(vol.origin), voxel_size=vol.voxel_size,
+        )
+    if getattr(args, "clean", False):
+        # pymeshlab-analog cleanup (small components + smoothing)
+        from gstk_tpu.exporter.poisson import clean_mesh
+
+        verts, faces, vcols = clean_mesh(
+            verts, faces, vcols, smooth_iters=args.smooth_iters
+        )
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     write_mesh_ply(out_dir / "tsdf_mesh.ply", verts, faces, vcols)
     print(
-        f"TSDF mesh: {len(verts)} vertices, {len(faces)} faces -> "
-        f"{out_dir / 'tsdf_mesh.ply'}"
+        f"TSDF mesh ({getattr(args, 'meshing', 'tetra')}): {len(verts)} "
+        f"vertices, {len(faces)} faces -> {out_dir / 'tsdf_mesh.ply'}"
     )
 
 
@@ -191,6 +210,17 @@ def main(argv=None) -> None:
     p.add_argument("--num-points", type=int, default=1_000_000)
     p.set_defaults(fn=export_point_cloud)
     p = sub.add_parser("offline-tsdf")
+    p.add_argument(
+        "--meshing", choices=["tetra", "poisson"], default="tetra",
+        help="isosurface backend: marching tetrahedra on the raw TSDF, or "
+        "the screened-Poisson indicator (exporter/poisson.py)",
+    )
+    p.add_argument("--poisson-iters", type=int, default=200)
+    p.add_argument(
+        "--clean", action="store_true",
+        help="drop small components + smooth (pymeshlab-analog cleanup)",
+    )
+    p.add_argument("--smooth-iters", type=int, default=0)
     common(p)
     p.add_argument("--voxel-size", type=float, default=0.01)
     p.add_argument("--volume-size", type=float, default=2.0)
