@@ -51,6 +51,12 @@ class ProcessConfig:
     skip_colmap: bool = False
     colmap_matcher: str = "sequential"  # sequential | exhaustive
     gpu: bool = False
+    # SfM backend + feature/matcher configuration (reference
+    # hloc_utils.py:15 exposes the same knobs)
+    sfm_backend: str = "auto"  # auto | hloc | colmap
+    feature_type: str = "superpoint_aachen"  # hloc feature conf
+    matcher_type: str = "superglue"  # hloc matcher conf
+    sift_max_features: int = 8192  # colmap SIFT budget
 
 
 def colmap_available() -> bool:
@@ -89,12 +95,110 @@ def copy_and_downscale_images(
     return rename
 
 
+def hloc_available() -> bool:
+    try:
+        import hloc  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def run_hloc(
+    image_dir: Path,
+    colmap_dir: Path,
+    feature_type: str = "superpoint_aachen",
+    matcher_type: str = "superglue",
+    matching_method: str = "sequential",
+) -> Path:
+    """SfM via hloc (the reference's default backend, hloc_utils.py:15):
+    learned features + matcher feeding pycolmap reconstruction. Requires
+    the hloc package + its model weights (not bundled offline); gated by
+    ``hloc_available``."""
+    from hloc import (  # type: ignore
+        extract_features,
+        match_features,
+        pairs_from_exhaustive,
+        reconstruction,
+    )
+
+    colmap_dir.mkdir(parents=True, exist_ok=True)
+    outputs = colmap_dir
+    sfm_pairs = outputs / "pairs.txt"
+    sfm_dir = outputs / "sparse" / "0"
+    feature_conf = extract_features.confs[feature_type]
+    matcher_conf = match_features.confs[matcher_type]
+    image_list = sorted(
+        p.name for p in Path(image_dir).iterdir()
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )
+    features = extract_features.main(
+        feature_conf, Path(image_dir), image_list=image_list,
+        feature_path=outputs / "features.h5",
+    )
+    pairs_from_exhaustive.main(sfm_pairs, image_list=image_list)
+    matches = match_features.main(
+        matcher_conf, sfm_pairs, features=features,
+        matches=outputs / "matches.h5",
+    )
+    reconstruction.main(
+        sfm_dir, Path(image_dir), sfm_pairs, features, matches,
+        image_list=image_list,
+    )
+    return sfm_dir
+
+
+def run_sfm(
+    image_dir: Path,
+    colmap_dir: Path,
+    camera_model: str = "OPENCV",
+    matcher: str = "sequential",
+    gpu: bool = False,
+    backend: str = "auto",
+    feature_type: str = "superpoint_aachen",
+    matcher_type: str = "superglue",
+    sift_max_features: int = 8192,
+) -> Path:
+    """Structure-from-motion with backend resolution: hloc (the
+    reference's default) when importable, the COLMAP CLI otherwise, and an
+    actionable error when neither exists."""
+    if backend == "auto":
+        backend = (
+            "hloc" if hloc_available()
+            else "colmap" if colmap_available()
+            else "none"
+        )
+    if backend == "hloc":
+        if not hloc_available():
+            raise RuntimeError(
+                "--sfm-backend hloc requested but the hloc package is not "
+                "importable; install Hierarchical-Localization + weights, "
+                "or use --sfm-backend colmap"
+            )
+        return run_hloc(
+            image_dir, colmap_dir, feature_type, matcher_type, matcher
+        )
+    if backend == "colmap":
+        return run_colmap(
+            image_dir, colmap_dir, camera_model, matcher, gpu,
+            sift_max_features=sift_max_features,
+        )
+    raise RuntimeError(
+        "No SfM backend available: the hloc package is not importable and "
+        "no `colmap` binary is on PATH. Options: (a) install COLMAP, "
+        "(b) install hloc (Hierarchical-Localization) with its model "
+        "weights, or (c) run SfM elsewhere and pass --skip-colmap with the "
+        "existing sparse model directory."
+    )
+
+
 def run_colmap(
     image_dir: Path,
     colmap_dir: Path,
     camera_model: str = "OPENCV",
     matcher: str = "sequential",
     gpu: bool = False,
+    sift_max_features: int = 8192,
 ) -> Path:
     """Feature extraction -> matching -> mapper via the COLMAP CLI
     (the reference shells out to hloc/colmap the same way,
@@ -115,6 +219,7 @@ def run_colmap(
             "--ImageReader.single_camera", "1",
             "--ImageReader.camera_model", camera_model,
             "--SiftExtraction.use_gpu", use_gpu,
+            "--SiftExtraction.max_num_features", str(sift_max_features),
         ],
         check=True,
     )
@@ -166,9 +271,13 @@ def process_images(config: ProcessConfig) -> Path:
 
     recon_dir = out / "colmap" / "sparse" / "0"
     if not config.skip_colmap:
-        recon_dir = run_colmap(
+        recon_dir = run_sfm(
             out / "images", out / "colmap", config.camera_model,
             config.colmap_matcher, config.gpu,
+            backend=config.sfm_backend,
+            feature_type=config.feature_type,
+            matcher_type=config.matcher_type,
+            sift_max_features=config.sift_max_features,
         )
     if not (recon_dir / "cameras.bin").exists() and not (
         recon_dir / "cameras.txt"

@@ -36,6 +36,13 @@ def main(argv=None) -> None:
     )
     p.add_argument("--depth-method", type=str, default="auto")
     p.add_argument(
+        "--sfm-backend", type=str, default="auto",
+        choices=["auto", "hloc", "colmap"],
+    )
+    p.add_argument("--feature-type", type=str, default="superpoint_aachen")
+    p.add_argument("--matcher-type", type=str, default="superglue")
+    p.add_argument("--sift-max-features", type=int, default=8192)
+    p.add_argument(
         "--allow-toy-depth", action="store_true",
         help="knowingly use the placeholder gradient depth (tests only)",
     )
@@ -55,6 +62,10 @@ def main(argv=None) -> None:
             skip_colmap=args.skip_colmap,
             colmap_matcher=args.matching_method,
             gpu=args.gpu,
+            sfm_backend=args.sfm_backend,
+            feature_type=args.feature_type,
+            matcher_type=args.matcher_type,
+            sift_max_features=args.sift_max_features,
         )
     )
 

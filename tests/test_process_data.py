@@ -6,6 +6,7 @@ import struct
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from gstk_tpu.process_data.colmap import (
     colmap_to_json,
@@ -214,3 +215,135 @@ def test_aria_pose_math():
     assert out["camera_model"] == "FISHEYE624"
     assert out["w"] == 1408 and len(out["frames"]) == 1
     assert np.asarray(out["frames"][0]["transform_matrix"]).shape == (4, 4)
+
+
+def _write_colmap_text_model(d):
+    """A hand-written COLMAP *text* model (the format spec, cameras.txt /
+    images.txt / points3D.txt) — exercises the text readers + colmap_to_json
+    end to end on a realistic fixture."""
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "cameras.txt").write_text(
+        "# Camera list with one line of data per camera:\n"
+        "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+        "1 OPENCV 96 72 80.0 82.0 48.0 36.0 0.01 -0.005 0.0001 0.0002\n"
+    )
+    # two images: identity-ish and a 90-deg yaw, each with 2 observations
+    (d / "images.txt").write_text(
+        "# Image list with two lines of data per image:\n"
+        "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+        "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+        "1 1.0 0.0 0.0 0.0 0.1 -0.2 2.0 1 frame_000.jpg\n"
+        "10.0 12.0 1 20.5 30.5 2\n"
+        "2 0.7071068 0.0 0.7071068 0.0 -0.3 0.0 2.5 1 frame_001.jpg\n"
+        "11.0 13.0 1 -1 -1 -1\n"
+    )
+    (d / "points3D.txt").write_text(
+        "# 3D point list with one line of data per point:\n"
+        "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+        "1 0.5 -0.25 1.5 200 100 50 0.75 1 0 2 0\n"
+        "2 -0.4 0.3 1.8 10 20 30 0.5 1 1\n"
+    )
+
+
+def test_colmap_text_model_and_json(tmp_path):
+    from gstk_tpu.process_data.colmap import (
+        read_model,
+        read_cameras_text,
+        read_images_text,
+        read_points3d_text,
+    )
+
+    d = tmp_path / "sparse"
+    _write_colmap_text_model(d)
+    cams = read_cameras_text(d / "cameras.txt")
+    assert cams[1].model == "OPENCV"
+    assert cams[1].width == 96 and cams[1].height == 72
+    np.testing.assert_allclose(cams[1].params[:4], [80.0, 82.0, 48.0, 36.0])
+    imgs = read_images_text(d / "images.txt")
+    assert imgs[1].name == "frame_000.jpg"
+    assert imgs[2].qvec[0] == pytest.approx(0.7071068)
+    assert list(imgs[1].point3d_ids) == [1, 2]
+    pts = read_points3d_text(d / "points3D.txt")
+    np.testing.assert_allclose(pts[1].xyz, [0.5, -0.25, 1.5])
+    assert list(pts[1].image_ids) == [1, 2]
+    # read_model auto-detects text
+    c2, i2, p2 = read_model(d)
+    assert len(c2) == 1 and len(i2) == 2 and len(p2) == 2
+
+    n = colmap_to_json(d, tmp_path)
+    assert n == 2
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    assert meta["camera_model"] == "OPENCV"
+    assert meta["fl_x"] == pytest.approx(80.0)
+    assert len(meta["frames"]) == 2
+    c2w = np.asarray(meta["frames"][0]["transform_matrix"])
+    r = c2w[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+def test_run_sfm_error_paths(tmp_path, monkeypatch):
+    from gstk_tpu.process_data import pipeline
+
+    monkeypatch.setattr(pipeline, "colmap_available", lambda: False)
+    monkeypatch.setattr(pipeline, "hloc_available", lambda: False)
+    with pytest.raises(RuntimeError, match="No SfM backend"):
+        pipeline.run_sfm(tmp_path, tmp_path / "c")
+    with pytest.raises(RuntimeError, match="hloc"):
+        pipeline.run_sfm(tmp_path, tmp_path / "c", backend="hloc")
+    with pytest.raises(RuntimeError, match="colmap binary"):
+        pipeline.run_sfm(tmp_path, tmp_path / "c", backend="colmap")
+
+
+def test_run_sfm_uses_hloc_when_available(tmp_path, monkeypatch):
+    """A fake hloc package proves the integration surface (the call pattern
+    of reference hloc_utils.py:15) without the real weights."""
+    import sys
+    import types
+
+    calls = {}
+
+    def _mod(name, **fns):
+        m = types.ModuleType(name)
+        for k, v in fns.items():
+            setattr(m, k, v)
+        return m
+
+    hloc = types.ModuleType("hloc")
+    ef = _mod("hloc.extract_features")
+    ef.confs = {"superpoint_aachen": {"model": "sp"}}
+    ef.main = lambda conf, img_dir, image_list, feature_path: calls.setdefault(
+        "features", feature_path
+    ) or feature_path
+    mf = _mod("hloc.match_features")
+    mf.confs = {"superglue": {"model": "sg"}}
+    mf.main = lambda conf, pairs, features, matches: calls.setdefault(
+        "matches", matches
+    ) or matches
+    pe = _mod("hloc.pairs_from_exhaustive")
+    pe.main = lambda pairs, image_list: calls.setdefault("pairs", pairs)
+    rc = _mod("hloc.reconstruction")
+
+    def recon_main(sfm_dir, img_dir, pairs, features, matches, image_list):
+        calls["recon"] = sfm_dir
+        Path(sfm_dir).mkdir(parents=True, exist_ok=True)
+
+    rc.main = recon_main
+    hloc.extract_features = ef
+    hloc.match_features = mf
+    hloc.pairs_from_exhaustive = pe
+    hloc.reconstruction = rc
+    for name, mod in [
+        ("hloc", hloc), ("hloc.extract_features", ef),
+        ("hloc.match_features", mf), ("hloc.pairs_from_exhaustive", pe),
+        ("hloc.reconstruction", rc),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from gstk_tpu.process_data import pipeline
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    (img_dir / "frame_000.jpg").write_bytes(b"x")
+    out = pipeline.run_sfm(img_dir, tmp_path / "colmap", backend="auto")
+    assert calls.keys() == {"features", "pairs", "matches", "recon"}
+    assert out == tmp_path / "colmap" / "sparse" / "0"
