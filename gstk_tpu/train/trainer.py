@@ -220,7 +220,11 @@ class Trainer:
             from gstk_tpu.viewer.viser_viewer import make_viewer
 
             self.viewer = make_viewer(
-                cfg.model, self.raster_cfg, port=cfg.viewer_port
+                cfg.model, self.raster_cfg, port=cfg.viewer_port,
+                run_info={
+                    "config_path": str(self.run_dir / "config.yml"),
+                    "export_dir": str(self.run_dir / "exports"),
+                },
             ).start()
 
     # -- step-function cache (per resolution bucket / sh degree) ----------

@@ -75,10 +75,13 @@ def _quat_scale_to_cov(quats: np.ndarray, scales: np.ndarray) -> np.ndarray:
     return M @ M.transpose(0, 2, 1)
 
 
-def make_viewer(model_config, raster_config, port: int = 7007):
+def make_viewer(model_config, raster_config, port: int = 7007,
+                run_info=None):
     """viser when available, stdlib HTTP viewer otherwise."""
     if viser_available():
         return ViserViewer(model_config, raster_config, port=port)
     from gstk_tpu.viewer.http_viewer import TrainingViewer
 
-    return TrainingViewer(model_config, raster_config, port=port)
+    return TrainingViewer(
+        model_config, raster_config, port=port, run_info=run_info
+    )

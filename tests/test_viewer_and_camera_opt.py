@@ -118,8 +118,8 @@ def test_orbit_pose_looks_at_center():
 def test_http_viewer_serves(rng):
     frames = []
 
-    def render(c2w, h, w):
-        frames.append(c2w)
+    def render(c2w, h, w, settings):
+        frames.append((c2w, settings))
         return (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
 
     server = ViewerServer(render, host="127.0.0.1", port=0).start()
@@ -145,7 +145,7 @@ def test_viewer_trajectory_editor(rng):
     """Keyframe endpoints emit a gs-render-compatible camera_path json
     (the reference render panel's functional core, render_panel.py)."""
     server = ViewerServer(
-        lambda c2w, h, w: np.zeros((h, w, 3), np.uint8),
+        lambda c2w, h, w, settings: np.zeros((h, w, 3), np.uint8),
         host="127.0.0.1", port=0,
     ).start()
     try:
@@ -171,5 +171,81 @@ def test_viewer_trajectory_editor(rng):
         r = json.loads(urllib.request.urlopen(
             base + "/keyframe/clear", timeout=10).read())
         assert r["num_keyframes"] == 0
+    finally:
+        server.stop()
+
+
+def test_viewer_control_panel_and_export(rng):
+    """GUI endpoints: settings round-trip drives the renderer, keyframe
+    list/reorder/delete, export-command generation (reference
+    control_panel.py / export_panel.py / render_panel.py parity)."""
+    seen = []
+
+    def render(c2w, h, w, settings):
+        seen.append((h, w, dict(settings)))
+        return np.zeros((h, w, 3), np.uint8)
+
+    server = ViewerServer(
+        render, host="127.0.0.1", port=0,
+        run_info={"config_path": "/runs/x/config.yml", "export_dir": "/exp"},
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        # settings POST round-trip
+        new = {
+            "bg": [1.0, 0.0, 0.0], "output": "depth", "sh_degree": 1,
+            "max_res": 64, "crop_enabled": True,
+            "crop_min": [-1, -1, -1], "crop_max": [1, 1, 1],
+        }
+        req = urllib.request.Request(
+            base + "/settings", data=json.dumps(new).encode()
+        )
+        got = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        assert got["sh_degree"] == 1 and got["crop_enabled"] is True
+        got2 = json.loads(
+            urllib.request.urlopen(base + "/settings", timeout=10).read()
+        )
+        assert got2 == got
+        # render applies max_res and passes settings through
+        urllib.request.urlopen(base + "/render?az=0", timeout=10).read()
+        h, w, s = seen[-1]
+        assert max(h, w) <= 64
+        assert s["output"] == "depth" and s["bg"] == [1.0, 0.0, 0.0]
+
+        # keyframe editor: add 3, reorder, delete, render one
+        for az in (0.0, 1.0, 2.0):
+            urllib.request.urlopen(
+                base + f"/keyframe/add?az={az}&el=0.2&r=3", timeout=10
+            ).read()
+        kfs = json.loads(urllib.request.urlopen(
+            base + "/keyframes", timeout=10).read())["keyframes"]
+        assert len(kfs) == 3
+        urllib.request.urlopen(
+            base + "/keyframe/move?i=2&dir=-1", timeout=10).read()
+        kfs2 = json.loads(urllib.request.urlopen(
+            base + "/keyframes", timeout=10).read())["keyframes"]
+        assert kfs2[1] == kfs[2] and kfs2[2] == kfs[1]
+        r = json.loads(urllib.request.urlopen(
+            base + "/keyframe/delete?i=0", timeout=10).read())
+        assert r["num_keyframes"] == 2
+        jpg = urllib.request.urlopen(
+            base + "/render_pose?i=0", timeout=10).read()
+        assert jpg[:2] == b"\xff\xd8"
+        # trajectory preview frames
+        json.loads(urllib.request.urlopen(
+            base + "/trajectory?steps=4", timeout=10).read())
+        jpg = urllib.request.urlopen(
+            base + "/render_traj?i=2", timeout=10).read()
+        assert jpg[:2] == b"\xff\xd8"
+
+        # export command generation
+        for kind, frag in [
+            ("gaussian-splat", "gaussian-splat --load-config /runs/x/config.yml"),
+            ("offline-tsdf", "--meshing poisson"),
+            ("render-trajectory", "scripts.render trajectory"),
+        ]:
+            cmd = json.loads(urllib.request.urlopen(
+                base + f"/export_cmd?type={kind}", timeout=10).read())["command"]
+            assert frag in cmd, cmd
     finally:
         server.stop()
