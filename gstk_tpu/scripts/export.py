@@ -142,6 +142,24 @@ def export_offline_tsdf(args) -> None:
         w2c[:3, 3:4] = -r.T @ t
         w2cs.append(w2c)
 
+    # optional object isolation before fusion (reference
+    # mask_generater.py:24 GroundingDINO+SAM chain / fallbacks): masked-out
+    # pixels get zero depth and never integrate
+    mask_method = getattr(args, "mask_method", "none")
+    if mask_method != "none":
+        from gstk_tpu.exporter.mask_generation import generate_masks
+
+        imgs_u8 = [
+            (np.clip(c, 0, 1) * 255).astype(np.uint8) for c in colors
+        ]
+        accs = [(d > 0).astype(np.float32) for d in depths]
+        masks = generate_masks(
+            imgs_u8, prompt=getattr(args, "prompt", None),
+            method=mask_method, accumulations=accs,
+            box=getattr(args, "mask_box", None),
+        )
+        depths = [d * m for d, m in zip(depths, masks)]
+
     depths = np.stack(depths)
     finite = depths[depths > 0]
     center = np.zeros(3)
@@ -221,6 +239,16 @@ def main(argv=None) -> None:
         help="drop small components + smooth (pymeshlab-analog cleanup)",
     )
     p.add_argument("--smooth-iters", type=int, default=0)
+    p.add_argument(
+        "--mask-method", default="none",
+        choices=["none", "threshold", "box", "grounded_sam"],
+        help="object isolation before fusion; grounded_sam needs local "
+        "GroundingDINO+SAM checkpoints (docs/WEIGHTS.md)",
+    )
+    p.add_argument("--prompt", type=str, default=None,
+                   help="text prompt for grounded_sam masking")
+    p.add_argument("--mask-box", type=float, nargs=4, default=None,
+                   help="normalized x0 y0 x1 y1 for --mask-method box")
     common(p)
     p.add_argument("--voxel-size", type=float, default=0.01)
     p.add_argument("--volume-size", type=float, default=2.0)

@@ -43,3 +43,64 @@ def test_mask_generation_fallbacks(rng):
     ])
     masks = generate_masks(imgs, prompt="a cup", method="fake")
     assert not masks[0].any()
+
+
+def test_grounded_sam_local_checkpoints(tmp_path, rng):
+    """The real GroundingDINO->SAM chain through transformers with tiny
+    random local checkpoints (docs/WEIGHTS.md contract for text-prompted
+    offline-tsdf masking)."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    from gstk_tpu.exporter import mask_generation as mg
+
+    gdir, sdir = tmp_path / "gdino", tmp_path / "sam"
+    gcfg = transformers.GroundingDinoConfig(
+        text_config={"hidden_size": 32, "num_hidden_layers": 2,
+                     "num_attention_heads": 2, "intermediate_size": 64,
+                     "vocab_size": 30522},
+        backbone_config={"model_type": "swin", "embed_dim": 16,
+                         "depths": [1, 1, 2], "num_heads": [1, 2, 4],
+                         "image_size": 64, "out_indices": [1, 2, 3]},
+        d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=10,
+        num_feature_levels=4,
+    )
+    transformers.GroundingDinoForObjectDetection(gcfg).save_pretrained(gdir)
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                   "object", "sphere", "a", "."])
+    )
+    tok = transformers.BertTokenizerFast(str(vocab))
+    gproc = transformers.GroundingDinoProcessor(
+        image_processor=transformers.GroundingDinoImageProcessor(
+            size={"shortest_edge": 64, "longest_edge": 64}
+        ),
+        tokenizer=tok,
+    )
+    gproc.save_pretrained(gdir)
+
+    scfg = transformers.SamConfig(
+        vision_config={"hidden_size": 32, "num_hidden_layers": 2,
+                       "num_attention_heads": 2, "intermediate_size": 48,
+                       "image_size": 64, "patch_size": 8,
+                       "global_attn_indexes": [1]},
+        prompt_encoder_config={"image_embedding_size": 8,
+                               "image_size": 64, "patch_size": 8},
+    )
+    transformers.SamModel(scfg).save_pretrained(sdir)
+    transformers.SamProcessor(
+        transformers.SamImageProcessor(
+            size={"longest_edge": 64},
+            pad_size={"height": 64, "width": 64},
+        )
+    ).save_pretrained(sdir)
+
+    assert mg.try_load_grounded_sam(gdir, sdir, box_threshold=0.0)
+    img = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+    masks = mg.generate_masks([img], prompt="sphere", method="grounded_sam")
+    assert len(masks) == 1
+    assert masks[0].shape == (48, 64)
+    assert masks[0].dtype == bool
