@@ -151,3 +151,27 @@ def test_rgbd_pointcloud_mask_and_normals(rng):
     dots = np.abs(normals @ expected)
     assert np.all(dots > 0.999)
     np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-5)
+
+
+def test_download_registry_expansion(capsys):
+    """Full dataset families + capture catalogs (reference
+    download_data.py:202+ / eyeful_tower.py parity)."""
+    from gstk_tpu.scripts.download_data import DATASETS, resolve, main
+
+    assert len(DATASETS) >= 10
+    assert len(DATASETS["nerfstudio"]["captures"]) == 18
+    assert len(DATASETS["phototourism"]["captures"]) == 10
+    assert len(DATASETS["eyefultower"]["captures"]) == 11
+    # single capture resolution
+    pairs = resolve("nerfstudio", "poster")
+    assert pairs[0][0] == "poster" and "drive.google" in pairs[0][1]
+    # 'all' expands
+    assert len(resolve("mill19", "all")) == 2
+    # eyefultower prints the s3 sync instruction (no downloader for s3)
+    main(["eyefultower", "--capture", "riverview", "--save-dir", "/tmp/dlx"])
+    out = capsys.readouterr().out
+    assert "aws s3 sync" in out and "riverview" in out
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown capture"):
+        resolve("nerfstudio", "nonexistent")
