@@ -244,6 +244,18 @@ def padded_positions(
     return pos
 
 
+def expansion_positions(isect: Intersections) -> jax.Array:
+    """Expansion-order -> sorted-position permutation (inverse of the
+    binning sort) for the backward gradient reduction on UNPADDED ranges:
+    ``out[e]`` is where expansion entry e landed in the sorted list
+    (garbage for sentinel e, never read by the reduction)."""
+    cap = isect.gaussian_ids.shape[0]
+    _, pos = jax.lax.sort(
+        (isect.expansion_ids, jnp.arange(cap, dtype=jnp.int32)), num_keys=1
+    )
+    return pos
+
+
 def pad_tile_ranges(
     isect: Intersections, num_tiles: int, align: int, sentinel: int
 ) -> Intersections:

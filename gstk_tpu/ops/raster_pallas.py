@@ -168,12 +168,14 @@ def _pixel_basis(block_width: int):
     ), px, py
 
 
-def _chunk_alpha(chunk, basis, ox, oy, off, end):
+def _chunk_alpha(chunk, basis, ox, oy, off, start, end):
     """Alpha/validity for one attr-major (rows, CHUNK) chunk.
 
     Returns (a_eff (P,K), logm (P,K), valid, extras for bwd). Entry centers
     are shifted into tile-local coordinates; sigma = basis @ C where C packs
-    the quadratic-form coefficients per entry."""
+    the quadratic-form coefficients per entry. ``off`` is the chunk's
+    128-aligned base; entries outside [start, end) (the tile's unpadded
+    range — boundary blocks are shared between tiles) are masked out."""
     x = chunk[0:1, :] - ox
     y = chunk[1:2, :] - oy
     ca = chunk[2:3, :]
@@ -193,7 +195,7 @@ def _chunk_alpha(chunk, basis, ox, oy, off, end):
     raw = op * exp_neg
     alpha = jnp.minimum(raw, _ALPHA_CLAMP)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    in_range = (off + lane) < end
+    in_range = ((off + lane) >= start) & ((off + lane) < end)
     valid = (sigma >= 0.0) & (alpha >= _ALPHA_CUTOFF) & in_range
     a_eff = jnp.where(valid, alpha, 0.0)
     logm = jnp.log1p(-a_eff)
@@ -258,18 +260,24 @@ def _fwd_kernel(
     rows = attr_rows(ch)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    n_chunks = (end - start + CHUNK - 1) // CHUNK
+    # Unpadded ranges: chunks are the 128-aligned blocks COVERING
+    # [start, end); boundary blocks are shared with adjacent tiles (safe:
+    # reads only, entries outside the range are masked in _chunk_alpha).
+    b0 = start // CHUNK
+    n_chunks = jnp.where(
+        end > start, (end + CHUNK - 1) // CHUNK - b0, 0
+    )
 
     # Double-buffered chunk streaming: start chunk i+1's DMA before
     # compositing chunk i, so HBM latency hides behind the alpha math.
     def start_dma(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
         pltpu.make_async_copy(
             attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
     def wait_dma(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
         pltpu.make_async_copy(
             attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).wait()
@@ -303,9 +311,11 @@ def _fwd_kernel(
         nxt = jnp.minimum(i + 1, n_chunks - 1)
         start_dma(nxt, 1 - slot)
         wait_dma(i, slot)
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = (b0 + i) * CHUNK
         chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K) attr-major
-        a_eff, logm, valid, _ = _chunk_alpha(chunk, basis, ox, oy, off, end)
+        a_eff, logm, valid, _ = _chunk_alpha(
+            chunk, basis, ox, oy, off, start, end
+        )
         a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
         w = t_prev * a_k  # (P, K)
         colors = chunk[6 : 6 + ch, :]  # (ch, K)
@@ -333,7 +343,7 @@ def _fwd_kernel(
 
         @pl.when(jnp.logical_and(t + 1 < num_t, nend > nstart))
         def _():
-            noff = pl.multiple_of(nstart, CHUNK)
+            noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
             pltpu.make_async_copy(
                 attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0], sem.at[0]
             ).start()
@@ -381,14 +391,22 @@ def composite_tiles_fwd(
 
 
 def _bwd_kernel(
-    bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref,
+    bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
     chunk_vmem, gtile_vmem, sem, wsem,
     *, tiles_x: int, block_width: int, ch: int,
 ):
     """Backward sweep for one tile: recompute chunks front-to-back, write
-    per-intersection gradients attr-major to the tile's exclusive lane
-    blocks of ``gout_ref`` ((rows, Cp): row a holds attribute a's gradient
-    for every intersection).
+    per-intersection gradients attr-major as (rows, CHUNK) blocks.
+
+    Ranges are UNPADDED, so a boundary block is shared between adjacent
+    tiles. Write ownership keeps everything race-free without atomics: a
+    tile writes IN PLACE (``gout_ref`` (nb, rows, CHUNK)) exactly the
+    blocks whose first entry it owns — out-of-range lanes carry zero
+    gradients — and its contributions to a block owned by the previous
+    tile go to its per-tile side slab (``side_ref`` (T, rows, CHUNK)),
+    merged by one small scatter-add outside the kernel. This replaces the
+    former alignment-padding of the whole intersection list (an ~8 ms
+    pack gather per step at 1M intersections).
 
     fwd_ref/ct_ref blocks are (1, out_rows, P): forward outputs
     [acc_fg rows, final_t row] and cotangents [g_img rows, g_final_t row].
@@ -409,30 +427,58 @@ def _bwd_kernel(
     g_dot_acc = jnp.sum(g_img * acc_fg, axis=0, keepdims=True).reshape(p, 1)
     gt_tf = (g_final_t_row * final_t_row).reshape(p, 1)
 
-    n_chunks = (end - start + CHUNK - 1) // CHUNK
+    b0 = start // CHUNK
+    n_chunks = jnp.where(
+        end > start, (end + CHUNK - 1) // CHUNK - b0, 0
+    )
+    # chunk 0 goes to this tile's side slab when its block's first entry
+    # belongs to the previous tile (shared boundary block)
+    head_side = (start % CHUNK) != 0
     inv_floor = 1.0 - _ALPHA_CLAMP
+
+    def _in_place(i):
+        return jnp.logical_or(i > 0, jnp.logical_not(head_side))
 
     # Double-buffered read + write streams: chunk i+1's read overlaps chunk
     # i's math, and each gradient write drains while the next two chunks
     # compute (waited only when its buffer is about to be reused).
     def start_read(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
         pltpu.make_async_copy(
             attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).start()
 
     def wait_read(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
         pltpu.make_async_copy(
             attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
         ).wait()
 
+    def start_write(i, slot):
+        @pl.when(_in_place(i))
+        def _():
+            pltpu.make_async_copy(
+                gtile_vmem.at[slot], gout_ref.at[b0 + i], wsem.at[slot]
+            ).start()
+
+        @pl.when(jnp.logical_not(_in_place(i)))
+        def _():
+            pltpu.make_async_copy(
+                gtile_vmem.at[slot], side_ref.at[t], wsem.at[slot]
+            ).start()
+
     def wait_write(i, slot):
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            gtile_vmem.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)],
-            wsem.at[slot],
-        ).wait()
+        @pl.when(_in_place(i))
+        def _():
+            pltpu.make_async_copy(
+                gtile_vmem.at[slot], gout_ref.at[b0 + i], wsem.at[slot]
+            ).wait()
+
+        @pl.when(jnp.logical_not(_in_place(i)))
+        def _():
+            pltpu.make_async_copy(
+                gtile_vmem.at[slot], side_ref.at[t], wsem.at[slot]
+            ).wait()
 
     def cond(c):
         i, _, dead, _ = c
@@ -448,9 +494,11 @@ def _bwd_kernel(
         nxt = jnp.minimum(i + 1, n_chunks - 1)
         start_read(nxt, 1 - slot)
         wait_read(i, slot)
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
+        off = (b0 + i) * CHUNK
         chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
-        a_eff, logm, valid, extras = _chunk_alpha(chunk, basis, ox, oy, off, end)
+        a_eff, logm, valid, extras = _chunk_alpha(
+            chunk, basis, ox, oy, off, start, end
+        )
         x, y, ca, cb, cc, op, raw, alpha = extras
         a_k, t_prev, log_dec, dead_next = _keep(t_run, dead, a_eff, logm, valid)
         kept = a_k > 0.0
@@ -510,10 +558,7 @@ def _bwd_kernel(
              jnp.zeros((rows - 6 - ch, CHUNK), jnp.float32)],
             axis=0,
         )  # (rows, K)
-        pltpu.make_async_copy(
-            gtile_vmem.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)],
-            wsem.at[slot],
-        ).start()
+        start_write(i, slot)
 
         g_prefix = g_prefix + jnp.sum(w * g_dot_col, axis=1, keepdims=True)
         return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
@@ -540,16 +585,26 @@ def _bwd_kernel(
     def _():
         wait_write(i_done - 2, jax.lax.rem(i_done - 2, 2))
 
-    # zero-fill the tile's remaining (early-exited) blocks so the
+    # every tile must leave its side slab defined: chunk 0 wrote it when
+    # head_side, otherwise (including empty tiles) write zeros now
+    @pl.when(jnp.logical_or(n_chunks == 0, jnp.logical_not(head_side)))
+    def _():
+        gtile_vmem[0] = jnp.zeros(gtile_vmem.shape[1:], jnp.float32)
+        wdma = pltpu.make_async_copy(
+            gtile_vmem.at[0], side_ref.at[t], wsem.at[0]
+        )
+        wdma.start()
+        wdma.wait()
+
+    # zero-fill the tile's remaining (early-exited) in-place blocks so the
     # per-Gaussian reduction never reads garbage
     def zcond(i):
         return i < n_chunks
 
     def zbody(i):
         gtile_vmem[0] = jnp.zeros(gtile_vmem.shape[1:], jnp.float32)
-        off = pl.multiple_of(start + i * CHUNK, CHUNK)
         wdma = pltpu.make_async_copy(
-            gtile_vmem.at[0], gout_ref.at[:, pl.ds(off, CHUNK)], wsem.at[0]
+            gtile_vmem.at[0], gout_ref.at[b0 + i], wsem.at[0]
         )
         wdma.start()
         wdma.wait()
@@ -562,16 +617,21 @@ def _bwd_kernel(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_bwd(
-    s_attr: jax.Array,  # (Cp, ATTR_W)
-    tile_bins: jax.Array,  # (T, 2)
+    s_attr: jax.Array,  # (cap_alloc, ATTR_W), cap_alloc multiple of CHUNK
+    tile_bins: jax.Array,  # (T, 2) unpadded [start, end)
     fwd_packed: jax.Array,  # (T, out_rows, P)
     ct_packed: jax.Array,  # (T, out_rows, P)
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
-) -> jax.Array:
-    """Per-intersection gradients (attr_rows(ch), Cp), attr-major."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-intersection gradients, attr-major blocks.
+
+    Returns (gout (nb, rows, CHUNK), side (T, rows, CHUNK)): the final
+    per-entry gradient for block b is ``gout[b] + sum(side[t] for tiles t
+    whose range starts inside block b)`` — the caller merges with one
+    scatter-add (see rasterize._make_composite_pallas)."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     cp = s_attr.shape[0]
@@ -594,7 +654,10 @@ def composite_tiles_bwd(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
@@ -604,7 +667,10 @@ def composite_tiles_bwd(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, cp), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp // CHUNK, rows, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, rows, CHUNK), jnp.float32),
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -303,8 +303,8 @@ def _make_composite_pallas(
     gathers whose 128-lane rows stay row-major end to end — no transposes,
     no column-major gather pathology (docs/PERFORMANCE.md). The backward
     per-Gaussian reduction reorders the (Cp, 128) gradient rows into
-    expansion (gaussian-major) order via the precomputed ``pos_padded``
-    permutation from binning, then two-level prefix sums + boundary
+    expansion (gaussian-major) order via the inverse-sort permutation
+    from binning, then two-level prefix sums + boundary
     differences replace CUDA's atomicAdd (backward.cu:283-300)."""
     from gstk_tpu.ops import raster_pallas as rp
 
@@ -313,18 +313,14 @@ def _make_composite_pallas(
     used = 6 + ch
     orows = rp.out_rows(ch)
 
-    def pack_padded(xys, conics, colors, opacities, sorted_gids, tile_bins):
-        """Returns (attr (Cp, ATTR_W) entry-major, padded_bins (T, 2))."""
+    def pack_sorted(xys, conics, colors, opacities, sorted_gids):
+        """Sorted attributes (cap + CHUNK, ATTR_W) entry-major — one row
+        gather from the small per-Gaussian table (no alignment padding:
+        the kernels read 128-aligned blocks COVERING each tile's unpadded
+        range and mask the boundary lanes, which removed an ~8 ms pack
+        gather at 1M intersections). The binning sentinel gid (== n) and
+        the CHUNK rows of tail slack index an all-zero table row."""
         n = xys.shape[0]
-        cap = sorted_gids.shape[0]
-        num_tiles = tile_bins.shape[0]
-        align = rp.CHUNK
-        padded_cap = cap + num_tiles * align
-
-        # Row n is all-zero: binning's sentinel gid (== n) and the padding
-        # slots below index it directly, so no post-gather select pass is
-        # needed (a separate where() on (Cp, 128) costs ~2 ms of pure
-        # bandwidth in step traces).
         base = jnp.concatenate(
             [
                 xys,
@@ -339,44 +335,23 @@ def _make_composite_pallas(
             [base, jnp.zeros((1, rp.ATTR_W), jnp.float32)], axis=0
         )
         gid_ext = jnp.concatenate(
-            [sorted_gids, jnp.full((1,), n, jnp.int32)]
+            [sorted_gids, jnp.full((rp.CHUNK,), n, jnp.int32)]
         )
-        attr_sorted = base[gid_ext]  # (cap + 1, ATTR_W); row cap is zeros
-
-        counts = tile_bins[:, 1] - tile_bins[:, 0]
-        padded_counts = ((counts + align - 1) // align) * align
-        cum = jnp.cumsum(padded_counts).astype(jnp.int32)
-        padded_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
-        delta = tile_bins[:, 0] - padded_start  # src = j + delta[tile_of_j]
-        j = jnp.arange(padded_cap, dtype=jnp.int32)
-        delta_j = _segment_constant(delta, cum, padded_cap)
-        end_j = _segment_constant(tile_bins[:, 1], cum, padded_cap)
-        src = j + delta_j
-        valid = (src < end_j) & (j < cum[-1])
-        src_z = jnp.where(valid, jnp.clip(src, 0, cap - 1), cap)
-        # the barrier keeps the two gathers from fusing into one
-        # (table-side) gather with a column-major output
-        attr_p = jax.lax.optimization_barrier(attr_sorted)[src_z]
-        padded_bins = jnp.stack(
-            [padded_start, padded_start + counts], axis=-1
-        )
-        return attr_p, padded_bins
+        return base[gid_ext]
 
     def _forward(xys, conics, colors, opacities, sorted_gids, tile_bins):
-        attr, padded_bins = pack_padded(
-            xys, conics, colors, opacities, sorted_gids, tile_bins
-        )
+        attr = pack_sorted(xys, conics, colors, opacities, sorted_gids)
         packed = rp.composite_tiles_fwd(
-            attr, padded_bins, tile_bounds, block_width, ch=ch,
+            attr, tile_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
         )
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
         final_t = packed[:, ch, :]
-        return acc, final_t, attr, padded_bins, packed
+        return acc, final_t, attr, tile_bins, packed
 
     @jax.custom_vjp
     def composite(
-        xys, conics, colors, opacities, sorted_gids, pos_padded,
+        xys, conics, colors, opacities, sorted_gids, pos_sorted,
         tile_bins, counts,
     ):
         acc, final_t, *_ = _forward(
@@ -385,37 +360,43 @@ def _make_composite_pallas(
         return acc, final_t
 
     def fwd(
-        xys, conics, colors, opacities, sorted_gids, pos_padded,
+        xys, conics, colors, opacities, sorted_gids, pos_sorted,
         tile_bins, counts,
     ):
-        acc, final_t, attr, padded_bins, packed = _forward(
+        acc, final_t, attr, _, packed = _forward(
             xys, conics, colors, opacities, sorted_gids, tile_bins
         )
         cap = sorted_gids.shape[0]
         return (acc, final_t), (
-            attr, padded_bins, counts, packed, pos_padded, cap
+            attr, tile_bins, counts, packed, pos_sorted, cap
         )
 
     def bwd(res, cts):
-        attr, padded_bins, counts, packed, pos_padded, cap = res
+        attr, tile_bins, counts, packed, pos_sorted, cap = res
         g_acc, g_final_t = cts
         p = block_width * block_width
         num_tiles = tile_bounds[0] * tile_bounds[1]
         ct_packed = jnp.zeros((num_tiles, orows, p), jnp.float32)
         ct_packed = ct_packed.at[:, 0:ch, :].set(g_acc.transpose(0, 2, 1))
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
-        g_pad = rp.composite_tiles_bwd(
-            attr, padded_bins, packed, ct_packed, tile_bounds,
+        g_blk, side = rp.composite_tiles_bwd(
+            attr, tile_bins, packed, ct_packed, tile_bounds,
             block_width, ch=ch, interpret=interpret,
-        )  # (attr_rows, Cp) attr-major compact
+        )  # (nb, rows, CHUNK) in-place blocks + (T, rows, CHUNK) side slabs
+        # merge shared-boundary contributions: each tile's side slab adds
+        # into the block containing its first entry (zeros elsewhere) —
+        # a T-row scatter-add, cheap next to the former full-list padding
+        head_blocks = tile_bins[:, 0] // rp.CHUNK
+        g_blk = g_blk.at[head_blocks].add(side, mode="drop")
+        # attr-major (rows, cap_alloc) compact, then a free bitcast to
+        # (cap_alloc, rows) column-major for the reorder gather
+        g_pad = g_blk.transpose(1, 0, 2).reshape(g_blk.shape[1], -1)
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
-        # entries measured ~25 ms): transpose the kernel's compact attr-major
-        # gradients (~1 ms relayout; 8x fewer bytes than entry-major 128-lane
-        # rows), reorder rows into expansion (gaussian-major) order via the
-        # precomputed permutation (binning.padded_positions, one cap-sized
-        # sort), then an inclusive cumsum + boundary differences yields
-        # every Gaussian's sum, scatter-free.
-        g_e = jax.lax.optimization_barrier(g_pad.T[pos_padded])[:, :used]
+        # entries measured ~25 ms): reorder rows into expansion (gaussian-
+        # major) order via the inverse of the binning sort
+        # (binning.expansion_positions), then an inclusive cumsum +
+        # boundary differences yields every Gaussian's sum, scatter-free.
+        g_e = jax.lax.optimization_barrier(g_pad.T[pos_sorted])[:, :used]
 
         # Two-level prefix sums: a single f32 running sum over ~1M entries
         # suffers catastrophic cancellation when a Gaussian's own sum is tiny
@@ -647,16 +628,16 @@ def _rasterize_band(
     )
     if backend in ("pallas", "pallas_interpret"):
         from gstk_tpu.ops import raster_pallas as rp
-        from gstk_tpu.ops.binning import padded_positions
+        from gstk_tpu.ops.binning import expansion_positions
 
-        pos_padded = padded_positions(isect, num_tiles, rp.CHUNK)
+        pos_sorted = expansion_positions(isect)
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,
-            pos_padded, isect.tile_bins, counts,
+            pos_sorted, isect.tile_bins, counts,
         )
     else:
         composite = _make_composite(tile_bounds, bw, config.chunk_size)

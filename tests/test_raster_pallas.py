@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gstk_tpu.ops.binning import bin_gaussians, pad_tile_ranges
+from gstk_tpu.ops.binning import bin_gaussians
 from gstk_tpu.ops.oracle import rasterize_np
 from gstk_tpu.ops.projection import project_gaussians
 from gstk_tpu.ops.raster_pallas import (
@@ -33,17 +33,20 @@ def _prep(rng, n=300, img_w=64, img_h=48, opaque=False):
         tiles, 16, 1 << 13,
     )
     num_tiles = tiles[0] * tiles[1]
-    padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=n)
-    gid = jnp.minimum(padded.gaussian_ids, n - 1)
-    # entry-major 128-lane (Cp, ATTR_W) attribute layout
-    attr = jnp.zeros((padded.gaussian_ids.shape[0], ATTR_W), jnp.float32)
+    # entry-major 128-lane (cap + CHUNK, ATTR_W) SORTED attribute layout
+    # (unpadded ranges; boundary blocks are masked in-kernel)
+    gids = jnp.concatenate(
+        [isect.gaussian_ids, jnp.full((CHUNK,), n, jnp.int32)]
+    )
+    gid = jnp.minimum(gids, n - 1)
+    attr = jnp.zeros((gids.shape[0], ATTR_W), jnp.float32)
     attr = attr.at[:, 0:2].set(proj.xys[gid])
     attr = attr.at[:, 2:5].set(proj.conics[gid])
     attr = attr.at[:, 5].set(jnp.asarray(opacities)[gid])
     attr = attr.at[:, 6:9].set(jnp.asarray(colors)[gid])
-    real = (padded.gaussian_ids < n)[:, None]
+    real = (gids < n)[:, None]
     attr = jnp.where(real, attr, 0.0)
-    return cam, proj, colors, opacities, tiles, isect, padded, attr
+    return cam, proj, colors, opacities, tiles, isect, attr
 
 
 def _untile(packed, tiles, img_h, img_w, ch):
@@ -59,11 +62,11 @@ def _untile(packed, tiles, img_h, img_w, ch):
 
 @pytest.mark.parametrize("opaque", [False, True])
 def test_pallas_fwd_matches_oracle(rng, opaque):
-    cam, proj, colors, opacities, tiles, isect, padded, attr = _prep(
+    cam, proj, colors, opacities, tiles, isect, attr = _prep(
         rng, opaque=opaque
     )
     packed = composite_tiles_fwd(
-        attr, padded.tile_bins, tiles, 16, ch=3, interpret=True
+        attr, isect.tile_bins, tiles, 16, ch=3, interpret=True
     )
     img, final_t = _untile(packed, tiles, cam["img_h"], cam["img_w"], 3)
 
@@ -83,7 +86,11 @@ def test_pallas_fwd_matches_oracle(rng, opaque):
 
 
 def test_pad_tile_ranges_invariants(rng):
-    _, proj, _, _, tiles, isect, padded, _ = _prep(rng)
+    from gstk_tpu.ops.binning import pad_tile_ranges
+
+    _, proj, _, _, tiles, isect, _ = _prep(rng)
+    num_tiles = tiles[0] * tiles[1]
+    padded = pad_tile_ranges(isect, num_tiles, CHUNK, sentinel=proj.xys.shape[0])
     bins = np.asarray(padded.tile_bins)
     assert np.all(bins[:, 0] % CHUNK == 0)
     counts_orig = np.asarray(isect.tile_bins[:, 1] - isect.tile_bins[:, 0])

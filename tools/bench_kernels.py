@@ -33,9 +33,8 @@ def main():
 
     from gstk_tpu.core.cameras import Camera
     from gstk_tpu.ops import raster_pallas as rp
-    from gstk_tpu.ops.binning import bin_gaussians, padded_positions
+    from gstk_tpu.ops.binning import bin_gaussians
     from gstk_tpu.ops.projection import project_gaussians
-    from gstk_tpu.ops.rasterize import _make_composite_pallas
 
     img_h = img_w = 800
     n = 100_000
@@ -87,46 +86,25 @@ def main():
     num_tiles = tiles[0] * tiles[1]
     print("num_intersects:", int(isect.num_intersects), file=sys.stderr)
 
-    # Build padded attrs exactly as the composite path does.
-    composite = _make_composite_pallas(tiles, 16, ch, interpret=False)
-    pos_padded = padded_positions(isect, num_tiles, rp.CHUNK)
-
-    # pack once (jit the internals through the public fwd)
-    from gstk_tpu.ops.rasterize import _segment_constant
-
+    # Build sorted attrs exactly as the composite path does (no padding).
     @jax.jit
-    def pack(xys, conics, cols, opac, sorted_gids, tile_bins):
+    def pack(xys, conics, cols, opac, sorted_gids):
         used = 6 + ch
+        n2 = xys.shape[0]
         base = jnp.concatenate(
             [xys, conics, opac[:, None], cols,
-             jnp.zeros((xys.shape[0], rp.ATTR_W - used), jnp.float32)], axis=1)
+             jnp.zeros((n2, rp.ATTR_W - used), jnp.float32)], axis=1)
         base = jnp.concatenate(
             [base, jnp.zeros((1, rp.ATTR_W), jnp.float32)], axis=0)
         gid_ext = jnp.concatenate(
-            [sorted_gids, jnp.full((1,), xys.shape[0], jnp.int32)])
-        attr_sorted = base[gid_ext]
-        counts = tile_bins[:, 1] - tile_bins[:, 0]
-        align = rp.CHUNK
-        padded_counts = ((counts + align - 1) // align) * align
-        cum = jnp.cumsum(padded_counts).astype(jnp.int32)
-        padded_start = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
-        delta = tile_bins[:, 0] - padded_start
-        cap = sorted_gids.shape[0]
-        padded_cap = cap + num_tiles * align
-        j = jnp.arange(padded_cap, dtype=jnp.int32)
-        delta_j = _segment_constant(delta, cum, padded_cap)
-        end_j = _segment_constant(tile_bins[:, 1], cum, padded_cap)
-        src = j + delta_j
-        valid = (src < end_j) & (j < cum[-1])
-        src_z = jnp.where(valid, jnp.clip(src, 0, cap - 1), cap)
-        attr_p = attr_sorted[src_z]
-        padded_bins = jnp.stack([padded_start, padded_start + counts], axis=-1)
-        return attr_p, padded_bins
+            [sorted_gids, jnp.full((rp.CHUNK,), n2, jnp.int32)])
+        return base[gid_ext]
 
-    attr, padded_bins = pack(
+    attr = pack(
         proj.xys, proj.conics, jnp.asarray(colors), jnp.asarray(op),
-        isect.gaussian_ids, isect.tile_bins,
+        isect.gaussian_ids,
     )
+    padded_bins = isect.tile_bins
     jax.block_until_ready(attr)
 
     fwd = lambda a, b: rp.composite_tiles_fwd(a, b, tiles, 16, ch=ch)
