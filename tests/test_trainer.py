@@ -65,3 +65,45 @@ def test_trainer_resume(tmp_path, rng):
     assert int(t2.state.step) == 10  # resumed
     t2.train()
     assert int(t2.state.step) == 14
+
+
+def test_isect_growth_switches_to_bands(tmp_path):
+    """Past the 2^20 sort ceiling the trainer must add rasterization bands
+    instead of growing the buffer into the lax.sort cliff."""
+    import dataclasses
+
+    from gstk_tpu.data.synthetic import generate_synthetic_dataset
+    from gstk_tpu.train.trainer import Trainer, TrainerConfig
+    from gstk_tpu.configs.methods import method_configs
+
+    ds = generate_synthetic_dataset(
+        tmp_path / "ds", n_points=200, n_views=4, img_wh=(48, 32)
+    )
+    cfg = method_configs()["gaussian-splatting"]
+    cfg = dataclasses.replace(
+        cfg, data=ds, output_dir=tmp_path / "out", max_num_iterations=1,
+        steps_per_eval_image=0, steps_per_eval_all_images=0,
+        isect_capacity=1 << 12, data_parallel="off",
+        dataparser=dataclasses.replace(
+            cfg.dataparser, data=ds, eval_mode="interval", eval_interval=3,
+            downscale_factor=1,
+        ),
+    )
+    tr = Trainer(cfg)
+    tr.setup()
+    # below the ceiling: capacity doubles
+    tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 12))})
+    assert tr.raster_cfg.isect_capacity == 1 << 13
+    assert tr.raster_cfg.bands == 1
+    # at the ceiling: bands grow instead
+    tr.raster_cfg = dataclasses.replace(
+        tr.raster_cfg, isect_capacity=1 << 20
+    )
+    tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 20))})
+    assert tr.raster_cfg.isect_capacity == 1 << 20
+    assert tr.raster_cfg.bands == 2
+    # gaussian capacity saturates at max_capacity without resizing
+    cap = tr.state.scene.capacity
+    tr.config = dataclasses.replace(tr.config, max_capacity=cap)
+    tr._maybe_grow({"num_alive": int(0.9 * cap), "num_intersects": 0})
+    assert tr.state.scene.capacity == cap
