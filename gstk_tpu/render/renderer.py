@@ -41,8 +41,12 @@ class Renderer:
         self.scene, self.step = load_scene(path)
         self.model_config = model_config
         if raster_config is None:
-            # generous default intersection budget for offline rendering
-            raster_config = RasterizeConfig(isect_capacity=1 << 21)
+            # full per-band budget + auto-banding: offline renders of any
+            # resolution stay under the 2^20 sort ceiling per band
+            # (docs/PERFORMANCE.md; 2^21 also trips a TPU backend error)
+            raster_config = RasterizeConfig(
+                isect_capacity=1 << 20, bands=0
+            )
         self.raster_config = raster_config
         self.background = jnp.asarray(background, jnp.float32)
         self._cache: Dict = {}
