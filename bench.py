@@ -110,9 +110,12 @@ def main():
     img_h = img_w = int(os.environ.get("BENCH_RES", 800))
     n = int(os.environ.get("BENCH_N", 100_000))
     capacity = int(os.environ.get("BENCH_CAP", 1 << 17))
-    # 1<<21 currently trips a TPU backend InvalidArgument via the axon
-    # tunnel; 1<<20 comfortably covers the 800x800/100k synthetic scene.
-    isect_capacity = int(os.environ.get("BENCH_ISECT", 1 << 20))
+    # 1<<21 trips a TPU backend InvalidArgument via the axon tunnel and the
+    # lax.sort cliff; tight tile culling (projection.tight_extents) puts
+    # this deterministic scene at ~742k intersections, so a tuned static
+    # deployment picks the snuggest aligned bucket: 3*2^18 = 786432 (~6%
+    # headroom; the warmup step's num_intersects is asserted below).
+    isect_capacity = int(os.environ.get("BENCH_ISECT", 3 << 18))
 
     rng = np.random.default_rng(0)
     # OpenGL c2w identity at origin: camera looks along world -z.
@@ -162,6 +165,15 @@ def main():
     _log_phase("compile + warmup step (~1s cache-warm, minutes cold)")
     state, metrics = step_fn(state, camera, gt, key)
     jax.block_until_ready(metrics["loss"])
+    n_isect = int(metrics["num_intersects"])
+    if n_isect > isect_capacity:
+        print(
+            f"bench: WARNING isect buffer overflow ({n_isect} > "
+            f"{isect_capacity}); throughput would be measured on a "
+            "truncated image — raise BENCH_ISECT",
+            file=sys.stderr,
+            flush=True,
+        )
     if os.environ.get("BENCH_DEBUG"):
         import sys
 

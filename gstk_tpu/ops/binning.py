@@ -98,7 +98,12 @@ def bin_gaussians(
     """Build the sorted per-tile intersection list with a static capacity.
 
     Args:
-        xys/depths/radii/num_tiles_hit: outputs of ``project_gaussians``.
+        xys/depths: outputs of ``project_gaussians``.
+        radii: per-Gaussian footprint half-extents — (N,) square radii
+            (reference semantics) or (N, 2) per-axis tight extents
+            (``projection.tight_extents``); either way ``num_tiles_hit``
+            must equal the resulting bbox areas (the expansion walks
+            exactly these bboxes).
         tile_bounds: (tiles_x, tiles_y) static.
         block_width: tile side in pixels (16).
         capacity: static max number of intersections kept.
@@ -140,13 +145,32 @@ def bin_gaussians(
     bbox_w = jnp.maximum(tile_max[:, 0] - tile_min[:, 0], 1)
     bits_x = int(tile_bounds[0] + 1).bit_length()
     bits_y = int(tile_bounds[1] + 1).bit_length()
-    # any slot j < capacity belongs to a gaussian with cum_excl <= j, so
-    # only ceil_log2(capacity) low bits of cum_excl are ever needed
+    # ``pos = j - cum_excl`` is a within-bbox offset: 0 <= pos < bbox area
+    # <= num_tiles, so only the low ``bits_pos`` bits of cum_excl are ever
+    # needed (two's-complement subtraction + mask recovers pos exactly)
+    bits_pos = max(1, (num_tiles - 1).bit_length())
+    # ...and only ceil_log2(capacity) low bits if cum_excl must stand alone
     bits_cum = max(1, (capacity - 1).bit_length())
     seg = lambda v: _segment_constant(v, cum, capacity)
     u = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
     s = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
-    if bits_cum + bits_x <= 32 and bits_x + bits_y <= 32:
+    pos_mask = (1 << bits_pos) - 1
+    if bits_pos + 2 * bits_x + bits_y <= 32:
+        # all four columns in ONE word -> one scatter+cumsum pass (the
+        # 131k-row scatter dominates each pass; up to ~4K images fit)
+        packed = (
+            ((cum_excl & pos_mask) << (2 * bits_x + bits_y))
+            | (bbox_w << (bits_x + bits_y))
+            | (tile_min[:, 1] << bits_x)
+            | tile_min[:, 0]
+        )
+        p_s = u(seg(packed))
+        cum_low = s((p_s >> (2 * bits_x + bits_y)) & jnp.uint32(pos_mask))
+        bw_i = s((p_s >> (bits_x + bits_y)) & jnp.uint32((1 << bits_x) - 1))
+        tminy_s = s((p_s >> bits_x) & jnp.uint32((1 << bits_y) - 1))
+        tminx_s = s(p_s & jnp.uint32((1 << bits_x) - 1))
+        pos = (jnp.arange(capacity, dtype=jnp.int32) - cum_low) & pos_mask
+    elif bits_cum + bits_x <= 32 and bits_x + bits_y <= 32:
         packed_a = (cum_excl << bits_x) | bbox_w
         packed_b = (tile_min[:, 1] << bits_x) | tile_min[:, 0]
         a_s = seg(packed_a)
@@ -155,12 +179,13 @@ def bin_gaussians(
         bw_i = s(u(a_s) & jnp.uint32((1 << bits_x) - 1))
         tminy_s = s((u(b_s) >> bits_x) & jnp.uint32((1 << bits_y) - 1))
         tminx_s = s(u(b_s) & jnp.uint32((1 << bits_x) - 1))
+        pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
     else:  # giant image or capacity: one seg pass per column
         cum_excl_s = seg(cum_excl)
         bw_i = seg(bbox_w)
         tminy_s = seg(tile_min[:, 1])
         tminx_s = seg(tile_min[:, 0])
-    pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
+        pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
     depth_s = jax.lax.bitcast_convert_type(
         seg(
             jax.lax.bitcast_convert_type(

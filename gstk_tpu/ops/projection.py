@@ -189,11 +189,14 @@ def project_pix(fullmat: jax.Array, means3d: jax.Array, img_wh, center) -> jax.A
 def tile_bbox(xys, radius, tile_bounds, block_width):
     """Per-Gaussian tile bounding box, truncation semantics as the oracle.
 
-    radius is float; returns int32 (tile_min, tile_max) each (N, 2) clamped to
-    [0, tiles_x] x [0, tiles_y].
+    radius is float, either (N,) (square bbox, the reference semantics) or
+    (N, 2) per-axis half-extents (the tight footprint from
+    ``tight_extents``); returns int32 (tile_min, tile_max) each (N, 2)
+    clamped to [0, tiles_x] x [0, tiles_y].
     """
     tile_center = xys / block_width
-    tile_radius = radius[..., None] / block_width
+    tile_radius = radius[..., None] if radius.ndim == xys.ndim - 1 else radius
+    tile_radius = tile_radius / block_width
     top_left = jnp.trunc(tile_center - tile_radius).astype(jnp.int32)
     bottom_right = jnp.trunc(tile_center + tile_radius).astype(jnp.int32) + 1
     tile_min = jnp.stack(
@@ -211,6 +214,50 @@ def tile_bbox(xys, radius, tile_bounds, block_width):
         axis=-1,
     )
     return tile_min, tile_max
+
+
+def tight_extents(conics, opacities, radii):
+    """Axis-aligned half-extents (pixels, (N, 2)) of each Gaussian's
+    *visible* support — the exact-output tile-culling footprint.
+
+    The reference bins every Gaussian into a square bbox of radius
+    3*sqrt(lambda_max) (``compute_cov2d_bounds``, helpers.cuh:36-59 /
+    forward.cu:71-76), but the compositing loop discards entries with
+    ``alpha = op * exp(-sigma) < 1/255`` (forward.cu:329-340). Any tile that
+    lies entirely outside the ellipse ``{sigma <= ln(255*op)}`` therefore
+    contributes exactly nothing to the image or its gradients, in both the
+    forward break logic and the backward recompute. The tight footprint is
+    the intersection of the reference square with that ellipse's AABB:
+
+        half_extent_x = sqrt(2*ln(255*op) * Sigma_xx),  Sigma = conic^{-1}
+        (Sigma_xx = conic_c / det, Sigma_yy = conic_a / det)
+
+    clipped to the reference radius so the footprint only ever *shrinks*
+    (we never add contributions the reference's square would have cut).
+    For anisotropic splats this removes the empty minor-axis slab of the
+    square; for low-opacity splats the ellipse itself shrinks (op < 1/255
+    culls the Gaussian outright). Outputs and gradients are bit-equivalent
+    in exact arithmetic; only the intersection list (sort / gather /
+    composite work) shrinks.
+
+    Args: conics (N, 3), opacities (N,) in [0, 1] (post-compensation),
+    radii (N,) float or int (0 = culled). Returns (N, 2) float32.
+    """
+    op = jnp.maximum(opacities.reshape(-1), 0.0)
+    sig_cut = jnp.log(jnp.maximum(255.0 * op, 1e-12))
+    ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    det = jnp.maximum(ca * cc - cb * cb, 1e-24)
+    s2 = jnp.maximum(2.0 * sig_cut, 0.0) / det
+    # conservative f32 margin: rounding must never drop a live tile
+    margin = 1.0 + 1e-4
+    wx = jnp.sqrt(jnp.maximum(s2 * cc, 0.0)) * margin + 1e-3
+    wy = jnp.sqrt(jnp.maximum(s2 * ca, 0.0)) * margin + 1e-3
+    r = radii.astype(jnp.float32)
+    # inclusive alpha cutoff (alpha >= 1/255 composites): op == 1/255
+    # exactly still contributes at sigma == 0
+    visible = (r > 0) & (sig_cut >= 0.0)
+    ext = jnp.stack([jnp.minimum(wx, r), jnp.minimum(wy, r)], axis=-1)
+    return jnp.where(visible[:, None], ext, 0.0)
 
 
 def project_gaussians(

@@ -112,6 +112,17 @@ def _round_up_pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
 
+def _round_up_bucket(n: int) -> int:
+    """Smallest m * 2^k >= n with m in {4..7} (3-bit mantissa), min 4096.
+
+    Finer-than-pow2 static-shape buckets for the intersection capacity:
+    at most 4 retraces per octave, and every bucket is a multiple of 1024
+    (the compositing/prefix alignment requirement of 256 included)."""
+    n = max(int(n), 4096)
+    q = 1 << max((n - 1).bit_length() - 3, 10)
+    return -(-n // q) * q
+
+
 class Trainer:
     def __init__(self, config: TrainerConfig):
         self.config = config
@@ -368,7 +379,13 @@ class Trainer:
         n_isect = int(metrics.get("num_intersects", 0))
         if n_isect > 0.9 * self.raster_cfg.isect_capacity:
             max_cap = 1 << 20
-            new_isect = min(_round_up_pow2(int(n_isect * 2)), max_cap)
+            # 3-bit-mantissa buckets (m * 2^k, m in 4..7): tight culling
+            # (projection.tight_extents) makes real counts much smaller
+            # than pow2 steps assumed; finer buckets keep every cap-sized
+            # op (sorts, reduction gather, prefix sums) proportionally
+            # small. Headroom 1.2 > 1/0.9 so a fresh bucket never
+            # re-triggers growth on the same count.
+            new_isect = min(_round_up_bucket(int(n_isect * 1.2) + 1), max_cap)
             if new_isect > self.raster_cfg.isect_capacity:
                 print(
                     f"Growing intersection capacity "

@@ -91,9 +91,13 @@ def test_isect_growth_switches_to_bands(tmp_path):
     )
     tr = Trainer(cfg)
     tr.setup()
-    # below the ceiling: capacity doubles
-    tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 12))})
-    assert tr.raster_cfg.isect_capacity == 1 << 13
+    # below the ceiling: capacity grows to the next 3-bit-mantissa bucket
+    # with >= 1.2x headroom over the observed count
+    n = int(0.95 * (1 << 12))
+    tr._maybe_grow({"num_alive": 0, "num_intersects": n})
+    assert tr.raster_cfg.isect_capacity >= 1.2 * n
+    assert tr.raster_cfg.isect_capacity <= 1 << 13
+    assert tr.raster_cfg.isect_capacity % 1024 == 0
     assert tr.raster_cfg.bands == 1
     # at the ceiling: bands grow instead
     tr.raster_cfg = dataclasses.replace(
