@@ -129,6 +129,17 @@ OUT_ROWS = 8
 ATTR_ROWS = 16
 
 
+def _tiles_per_call(num_tiles: int) -> int:
+    """Largest of {8, 4, 2, 1} dividing num_tiles: batching tiles into one
+    grid cell amortizes the ~0.45 us per-invocation overhead (measured,
+    docs/PERFORMANCE.md); an exact divisor keeps every sub-tile real (no
+    padding/guard work)."""
+    for tpc in (8, 4, 2):
+        if num_tiles % tpc == 0:
+            return tpc
+    return 1
+
+
 def _mxu_transpose(x, rows: int):
     """Exact f32 transpose of the first ``rows`` lanes of ``x`` (K, 128)
     -> (rows, K) via a selector-matrix MXU contraction. The selector is
@@ -233,121 +244,143 @@ def _keep(t_run, dead, a_eff, logm, valid):
     # one exp instead of two: exp(cs - logm) = exp(cs) / (1 - a_eff), and
     # a_eff <= 0.999 keeps the divisor >= 1e-3
     e_cs = jnp.exp(cs)
-    t_prev = t_run * e_cs / (1.0 - a_eff)
-    break_here = jnp.where(
-        valid & (t_run * e_cs <= _T_CUTOFF), 1.0, 0.0
-    )
-    dead_incl = jnp.maximum(dead, _cumsum_lanes(break_here, exact=True))
+    t_incl = t_run * e_cs
+    t_prev = t_incl / (1.0 - a_eff)
+    # The cumulative-or over in-chunk break events IS a plain threshold
+    # test: t_incl never increases along lanes (logm <= 0) and only valid
+    # entries decrease it, so "some entry at or before j broke" is exactly
+    # "t_incl_j <= cutoff" — no in-chunk MXU scan needed (the former
+    # exact 0/1 cumsum pass), and an alive pixel always enters a chunk
+    # with t_run > cutoff (the breaking entry itself is never composited).
+    broke = jnp.where(t_incl <= _T_CUTOFF, 1.0, 0.0)
+    dead_incl = jnp.maximum(dead, broke)
     keep = valid & (dead_incl < 0.5)
     a_k = jnp.where(keep, a_eff, 0.0)
     log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
-    dead_next = jnp.maximum(dead, jnp.max(break_here, axis=1, keepdims=True))
+    dead_next = jnp.maximum(dead, jnp.max(broke, axis=1, keepdims=True))
     return a_k, t_prev, log_dec, dead_next
 
 
 def _fwd_kernel(
     bins_ref, attr_ref, out_ref, chunk_vmem, sem,
-    *, tiles_x: int, block_width: int, ch: int,
-    persistent_prefetch: bool = True,
+    *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
+    tiles_per_call: int = 1, persistent_prefetch: bool = True,
 ):
-    t = pl.program_id(0)
-    num_t = pl.num_programs(0)
-    start = bins_ref[2 * t]
-    end = bins_ref[2 * t + 1]
-    ox, oy = _tile_origin(t, tiles_x, block_width)
+    base = pl.program_id(0) * tiles_per_call
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
     rows = attr_rows(ch)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    # Unpadded ranges: chunks are the 128-aligned blocks COVERING
-    # [start, end); boundary blocks are shared with adjacent tiles (safe:
-    # reads only, entries outside the range are masked in _chunk_alpha).
-    b0 = start // CHUNK
-    n_chunks = jnp.where(
-        end > start, (end + CHUNK - 1) // CHUNK - b0, 0
-    )
 
-    # Double-buffered chunk streaming: start chunk i+1's DMA before
-    # compositing chunk i, so HBM latency hides behind the alpha math.
-    def start_dma(i, slot):
-        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
-        ).start()
-
-    def wait_dma(i, slot):
-        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
-        ).wait()
-
-    if persistent_prefetch:
-        # Cross-tile pipelining: VMEM scratch persists across grid cells on
-        # the (single-core) TPU, so every invocation prefetches the NEXT
-        # tile's chunk 0 on exit (see kernel tail) and only tile 0 cold-
-        # starts its own — otherwise the first DMA's latency is exposed
-        # once per tile. (A multi-core grid split would break the handoff
-        # at core boundaries; v5e has one core per chip.)
-        @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
-        def _():
-            start_dma(0, 0)
-    else:
-        # interpret mode: scratch does not persist across cells
-        @pl.when(n_chunks > 0)
-        def _():
-            start_dma(0, 0)
-
-    def cond(c):
-        i, _, dead = c
-        return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
-
-    def body(c):
-        i, t_run, dead = c
-        slot = jax.lax.rem(i, 2)
-        # prefetch the next chunk (clamped: re-reading the last chunk into
-        # the other slot when exiting is harmless and keeps the semaphore
-        # bookkeeping uniform)
-        nxt = jnp.minimum(i + 1, n_chunks - 1)
-        start_dma(nxt, 1 - slot)
-        wait_dma(i, slot)
-        off = (b0 + i) * CHUNK
-        chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K) attr-major
-        a_eff, logm, valid, _ = _chunk_alpha(
-            chunk, basis, ox, oy, off, start, end
-        )
-        a_k, t_prev, log_dec, dead = _keep(t_run, dead, a_eff, logm, valid)
-        w = t_prev * a_k  # (P, K)
-        colors = chunk[6 : 6 + ch, :]  # (ch, K)
-        contrib = _mxu_dot(
-            colors, w, (((1,), (1,)), ((), ()))
-        )  # (ch, P)
-        out_ref[0, 0:ch, :] += contrib
-        return i + 1, t_run * jnp.exp(log_dec), dead
-
-    t0 = jnp.ones((p, 1), jnp.float32)
-    dead0 = jnp.zeros((p, 1), jnp.float32)
-    i_done, t_final, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, dead0)
-    )
-    # drain the outstanding prefetch so the kernel exits with clean semaphores
-    @pl.when(n_chunks > 0)
-    def _():
-        slot = jax.lax.rem(i_done, 2)
-        last = jnp.minimum(i_done, n_chunks - 1)
-        wait_dma(last, slot)
-    if persistent_prefetch:
-        # hand chunk 0 of the next (non-empty) tile to its invocation
-        nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_t - 2)]
-        nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_t - 1)]
-
-        @pl.when(jnp.logical_and(t + 1 < num_t, nend > nstart))
-        def _():
-            noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
+    def make_dma(b0):
+        # Double-buffered chunk streaming: start chunk i+1's DMA before
+        # compositing chunk i, so HBM latency hides behind the alpha math.
+        def start_dma(i, slot):
+            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
             pltpu.make_async_copy(
-                attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0], sem.at[0]
+                attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+                sem.at[slot],
             ).start()
-    out_ref[0, ch : ch + 1, :] = t_final.reshape(1, p)
+
+        def wait_dma(i, slot):
+            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
+            pltpu.make_async_copy(
+                attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot],
+                sem.at[slot],
+            ).wait()
+
+        return start_dma, wait_dma
+
+    def process_tile(t, sub):
+        start = bins_ref[2 * t]
+        end = bins_ref[2 * t + 1]
+        ox, oy = _tile_origin(t, tiles_x, block_width)
+        # Unpadded ranges: chunks are the 128-aligned blocks COVERING
+        # [start, end); boundary blocks are shared with adjacent tiles
+        # (safe: reads only, masked in _chunk_alpha).
+        b0 = start // CHUNK
+        n_chunks = jnp.where(
+            end > start, (end + CHUNK - 1) // CHUNK - b0, 0
+        )
+        start_dma, wait_dma = make_dma(b0)
+
+        if persistent_prefetch:
+            # Cross-tile pipelining: VMEM scratch persists across grid
+            # cells on the (single-core) TPU, so every tile prefetches the
+            # NEXT tile's chunk 0 on exit (see tail below) and only tile 0
+            # cold-starts its own — otherwise the first DMA's latency is
+            # exposed once per tile. (A multi-core grid split would break
+            # the handoff at core boundaries; v5e has one core per chip.)
+            @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
+            def _():
+                start_dma(0, 0)
+        else:
+            # interpret mode: scratch does not persist across cells
+            @pl.when(n_chunks > 0)
+            def _():
+                start_dma(0, 0)
+
+        def cond(c):
+            i, _, dead = c
+            return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
+
+        def body(c):
+            i, t_run, dead = c
+            slot = jax.lax.rem(i, 2)
+            # prefetch the next chunk; the last iteration issues nothing
+            # (the former clamped re-read wasted one DMA per tile)
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                start_dma(i + 1, 1 - slot)
+            wait_dma(i, slot)
+            off = (b0 + i) * CHUNK
+            chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
+            a_eff, logm, valid, _ = _chunk_alpha(
+                chunk, basis, ox, oy, off, start, end
+            )
+            a_k, t_prev, log_dec, dead = _keep(
+                t_run, dead, a_eff, logm, valid
+            )
+            w = t_prev * a_k  # (P, K)
+            colors = chunk[6 : 6 + ch, :]  # (ch, K)
+            contrib = _mxu_dot(
+                colors, w, (((1,), (1,)), ((), ()))
+            )  # (ch, P)
+            out_ref[sub, 0:ch, :] += contrib
+            return i + 1, t_run * jnp.exp(log_dec), dead
+
+        t0 = jnp.ones((p, 1), jnp.float32)
+        dead0 = jnp.zeros((p, 1), jnp.float32)
+        i_done, t_final, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, dead0)
+        )
+        # drain: only an early exit leaves a prefetched read outstanding
+        # (read i_done, issued by iteration i_done - 1); a run to
+        # completion waited every read it issued
+        @pl.when(i_done < n_chunks)
+        def _():
+            wait_dma(i_done, jax.lax.rem(i_done, 2))
+        if persistent_prefetch:
+            # hand chunk 0 of the next (non-empty) tile onward — to the
+            # next sub-tile of this invocation or to the next invocation
+            nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_tiles - 2)]
+            nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_tiles - 1)]
+
+            @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
+            def _():
+                noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
+                pltpu.make_async_copy(
+                    attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0],
+                    sem.at[0],
+                ).start()
+        out_ref[sub, ch : ch + 1, :] = t_final.reshape(1, p)
+
+    # Multiple tiles per invocation amortize the per-grid-cell overhead
+    # (~0.45 us/cell measured); tiles_per_call always divides num_tiles
+    # (chosen by composite_tiles_fwd).
+    for sub in range(tiles_per_call):
+        process_tile(base + sub, sub)
 
 
 @functools.partial(
@@ -365,16 +398,18 @@ def composite_tiles_fwd(
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     orows = out_rows(ch)
+    tpc = _tiles_per_call(num_tiles)
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
+        num_tiles=num_tiles, tiles_per_call=tpc,
         persistent_prefetch=not interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        grid=(num_tiles // tpc,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (tpc, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
@@ -391,11 +426,13 @@ def composite_tiles_fwd(
 
 
 def _bwd_kernel(
-    bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
+    bins_ref, attr_ref, fwd_ref, ct_ref, gzero_ref, szero_ref,
+    gout_ref, side_ref,
     chunk_vmem, gtile_vmem, sem, wsem,
-    *, tiles_x: int, block_width: int, ch: int,
+    *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
+    tiles_per_call: int = 1, persistent_prefetch: bool = True,
 ):
-    """Backward sweep for one tile: recompute chunks front-to-back, write
+    """Backward sweep: recompute chunks front-to-back, write
     per-intersection gradients attr-major as (rows, CHUNK) blocks.
 
     Ranges are UNPADDED, so a boundary block is shared between adjacent
@@ -408,21 +445,42 @@ def _bwd_kernel(
     former alignment-padding of the whole intersection list (an ~8 ms
     pack gather per step at 1M intersections).
 
-    fwd_ref/ct_ref blocks are (1, out_rows, P): forward outputs
-    [acc_fg rows, final_t row] and cotangents [g_img rows, g_final_t row].
+    fwd_ref/ct_ref blocks are (tiles_per_call, out_rows, P): forward
+    outputs [acc_fg rows, final_t row] and cotangents [g_img rows,
+    g_final_t row]; ``tiles_per_call`` tiles run per grid cell to
+    amortize invocation overhead.
     """
-    t = pl.program_id(0)
-    start = bins_ref[2 * t]
-    end = bins_ref[2 * t + 1]
-    ox, oy = _tile_origin(t, tiles_x, block_width)
+    base = pl.program_id(0) * tiles_per_call
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
     rows = attr_rows(ch)
+    inv_floor = 1.0 - _ALPHA_CLAMP
+    for sub in range(tiles_per_call):
+        _bwd_tile(
+            base + sub, sub,
+            bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
+            chunk_vmem, gtile_vmem, sem, wsem,
+            basis, p, rows, inv_floor,
+            tiles_x=tiles_x, block_width=block_width, ch=ch,
+            num_tiles=num_tiles, persistent_prefetch=persistent_prefetch,
+        )
 
-    g_img = ct_ref[0, 0:ch, :]  # (ch, P)
-    g_final_t_row = ct_ref[0, ch : ch + 1, :]  # (1, P)
-    acc_fg = fwd_ref[0, 0:ch, :]
-    final_t_row = fwd_ref[0, ch : ch + 1, :]
+
+def _bwd_tile(
+    t, sub,
+    bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
+    chunk_vmem, gtile_vmem, sem, wsem,
+    basis, p, rows, inv_floor,
+    *, tiles_x, block_width, ch, num_tiles, persistent_prefetch,
+):
+    start = bins_ref[2 * t]
+    end = bins_ref[2 * t + 1]
+    ox, oy = _tile_origin(t, tiles_x, block_width)
+
+    g_img = ct_ref[sub, 0:ch, :]  # (ch, P)
+    g_final_t_row = ct_ref[sub, ch : ch + 1, :]  # (1, P)
+    acc_fg = fwd_ref[sub, 0:ch, :]
+    final_t_row = fwd_ref[sub, ch : ch + 1, :]
     # per-pixel scalars in (P, 1) layout
     g_dot_acc = jnp.sum(g_img * acc_fg, axis=0, keepdims=True).reshape(p, 1)
     gt_tf = (g_final_t_row * final_t_row).reshape(p, 1)
@@ -434,7 +492,6 @@ def _bwd_kernel(
     # chunk 0 goes to this tile's side slab when its block's first entry
     # belongs to the previous tile (shared boundary block)
     head_side = (start % CHUNK) != 0
-    inv_floor = 1.0 - _ALPHA_CLAMP
 
     def _in_place(i):
         return jnp.logical_or(i > 0, jnp.logical_not(head_side))
@@ -484,15 +541,28 @@ def _bwd_kernel(
         i, _, dead, _ = c
         return jnp.logical_and(i < n_chunks, jnp.min(dead) < 0.5)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_read(0, 0)
+    if persistent_prefetch:
+        # Cross-tile pipelining (same trick as the forward kernel): VMEM
+        # scratch persists across grid cells on the single-core chip, so
+        # each tile prefetches the NEXT tile's chunk 0 on exit and only
+        # tile 0 cold-starts its own — otherwise the first read DMA's
+        # latency is exposed once per tile.
+        @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
+        def _():
+            start_read(0, 0)
+    else:
+        # interpret mode: scratch does not persist across cells
+        @pl.when(n_chunks > 0)
+        def _():
+            start_read(0, 0)
 
     def body(c):
         i, t_run, dead, g_prefix = c
         slot = jax.lax.rem(i, 2)
-        nxt = jnp.minimum(i + 1, n_chunks - 1)
-        start_read(nxt, 1 - slot)
+        # prefetch the next chunk; the last iteration issues nothing
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            start_read(i + 1, 1 - slot)
         wait_read(i, slot)
         off = (b0 + i) * CHUNK
         chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
@@ -570,12 +640,26 @@ def _bwd_kernel(
         cond, body, (jnp.int32(0), t0, dead0, gp0)
     )
 
-    # drain: the outstanding read prefetch and the last (up to) two writes
-    @pl.when(n_chunks > 0)
+    # drain: an early exit leaves read i_done outstanding (issued by
+    # iteration i_done - 1); a run to completion waited every read
+    @pl.when(i_done < n_chunks)
     def _():
-        rslot = jax.lax.rem(i_done, 2)
-        last = jnp.minimum(i_done, n_chunks - 1)
-        wait_read(last, rslot)
+        wait_read(i_done, jax.lax.rem(i_done, 2))
+
+    if persistent_prefetch:
+        # hand chunk 0 of the next (non-empty) tile onward (to the next
+        # sub-tile or the next invocation); empty tiles receive no prefetch
+        # (they never wait), keeping the semaphore balanced — same
+        # discipline as the forward kernel
+        nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_tiles - 2)]
+        nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_tiles - 1)]
+
+        @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
+        def _():
+            noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
+            pltpu.make_async_copy(
+                attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0], sem.at[0]
+            ).start()
 
     @pl.when(i_done >= 1)
     def _():
@@ -585,32 +669,12 @@ def _bwd_kernel(
     def _():
         wait_write(i_done - 2, jax.lax.rem(i_done - 2, 2))
 
-    # every tile must leave its side slab defined: chunk 0 wrote it when
-    # head_side, otherwise (including empty tiles) write zeros now
-    @pl.when(jnp.logical_or(n_chunks == 0, jnp.logical_not(head_side)))
-    def _():
-        gtile_vmem[0] = jnp.zeros(gtile_vmem.shape[1:], jnp.float32)
-        wdma = pltpu.make_async_copy(
-            gtile_vmem.at[0], side_ref.at[t], wsem.at[0]
-        )
-        wdma.start()
-        wdma.wait()
-
-    # zero-fill the tile's remaining (early-exited) in-place blocks so the
-    # per-Gaussian reduction never reads garbage
-    def zcond(i):
-        return i < n_chunks
-
-    def zbody(i):
-        gtile_vmem[0] = jnp.zeros(gtile_vmem.shape[1:], jnp.float32)
-        wdma = pltpu.make_async_copy(
-            gtile_vmem.at[0], gout_ref.at[b0 + i], wsem.at[0]
-        )
-        wdma.start()
-        wdma.wait()
-        return i + 1
-
-    jax.lax.while_loop(zcond, zbody, i_done)
+    # Un-written blocks need no in-kernel zero-fill: the gout/side output
+    # buffers are input_output_aliased to zero arrays (composite_tiles_bwd),
+    # so early-exited tiles' remaining owned blocks and non-boundary tiles'
+    # side slabs are already zero. The former zero-fill loop serialized one
+    # start+wait DMA per remaining block AND one per non-head-side tile
+    # (~thousands of exposed DMA latencies per pass on early-exit scenes).
 
 
 @functools.partial(
@@ -637,22 +701,27 @@ def composite_tiles_bwd(
     cp = s_attr.shape[0]
     orows = fwd_packed.shape[1]
     rows = attr_rows(ch)
+    tpc = _tiles_per_call(num_tiles)
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch
+        _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
+        num_tiles=num_tiles, tiles_per_call=tpc,
+        persistent_prefetch=not interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        grid=(num_tiles // tpc,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, orows, p), lambda i, *_: (i, 0, 0),
+                (tpc, orows, p), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, orows, p), lambda i, *_: (i, 0, 0),
+                (tpc, orows, p), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pl.ANY),  # gout zero-init (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # side zero-init (aliased)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -665,6 +734,12 @@ def composite_tiles_bwd(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # Outputs alias pre-zeroed inputs: blocks the kernel never writes
+    # (early-exited tiles, non-boundary side slabs) must read as zero for
+    # the per-Gaussian reduction; a memset-speed zeros array beats the
+    # former serialized in-kernel zero-fill DMAs by miles.
+    gout_zero = jnp.zeros((cp // CHUNK, rows, CHUNK), jnp.float32)
+    side_zero = jnp.zeros((num_tiles, rows, CHUNK), jnp.float32)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -673,5 +748,9 @@ def composite_tiles_bwd(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_bins.reshape(-1), s_attr, fwd_packed, ct_packed)
+    )(
+        tile_bins.reshape(-1), s_attr, fwd_packed, ct_packed,
+        gout_zero, side_zero,
+    )

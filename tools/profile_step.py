@@ -53,7 +53,7 @@ def main():
     img_h = img_w = args.res
     n = args.n
     capacity = int(os.environ.get("BENCH_CAP", 1 << 17))
-    isect_capacity = int(os.environ.get("BENCH_ISECT", 1 << 20))
+    isect_capacity = int(os.environ.get("BENCH_ISECT", 3 << 18))
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
