@@ -85,6 +85,11 @@ class TrainerConfig:
     # 16 GB alongside the rasterizer buffers at 800x800.
     max_capacity: int = 1 << 21
     isect_capacity: int = 1 << 20
+    # device-resident training set: upload the train split to HBM once and
+    # index it on device per step (one full image per step through the
+    # host->device link otherwise dominates the step on tunneled/remote
+    # runtimes). Budget per coarse-to-fine bucket; 0 disables.
+    device_data_cache_mb: int = 4096
     load_dir: Optional[Path] = None
     enable_tensorboard: bool = False
     vis: str = "none"  # none | viewer
@@ -128,6 +133,104 @@ class Trainer:
         self.config = config
         self._step_cache: Dict = {}
         self._render_cache: Dict = {}
+        self._dev_cache: Dict = {}
+
+    # -- device-resident training set --------------------------------------
+    def _device_train_cache(self, d: int):
+        """Stacked device arrays of the whole train split at downscale d.
+
+        Shipping one full image per step costs a 7+ MB host->device copy
+        through the (tunneled) runtime — it dominated real training steps
+        (bench.py avoids it; the trainer must too). Uploading the train
+        split once and indexing it on device makes the hot loop fully
+        device-resident: per step only the camera index and a PRNG key
+        cross the host boundary.
+
+        Returns None (host fallback) when frames have mixed shapes or the
+        bucket exceeds ``config.device_data_cache_mb``. Only the current
+        coarse-to-fine bucket is kept (earlier buckets are never revisited
+        — downscale_factor is non-increasing in step).
+        """
+        if d in self._dev_cache:
+            return self._dev_cache[d]
+        budget = self.config.device_data_cache_mb
+        frames = self.datamanager.train_frames
+        if budget <= 0 or not frames:
+            self._dev_cache[d] = None
+            return None
+        shape0 = frames[0].image.shape
+        if any(f.image.shape != shape0 for f in frames):
+            self._dev_cache[d] = None
+            return None
+        h, w = shape0[0] // d, shape0[1] // d
+        n = len(frames)
+        bytes_needed = n * h * w * 3 * 4
+        has_depth = frames[0].depth is not None
+        has_mask = frames[0].mask is not None
+        if has_depth:
+            bytes_needed += n * h * w * 4
+        if has_mask:
+            bytes_needed += n * h * w
+        if bytes_needed > budget * (1 << 20):
+            self._dev_cache[d] = None
+            return None
+
+        def down_img(img):
+            if d == 1:
+                return img
+            import cv2
+
+            return cv2.resize(
+                img, (w, h), interpolation=cv2.INTER_AREA
+            )
+
+        def down_map(m):
+            return m if d == 1 else m[::d, ::d][:h, :w]
+
+        imgs = jnp.asarray(np.stack([down_img(f.image) for f in frames]))
+        cams = Camera(
+            fx=jnp.asarray([f.fx / d for f in frames], jnp.float32),
+            fy=jnp.asarray([f.fy / d for f in frames], jnp.float32),
+            cx=jnp.asarray([f.cx / d for f in frames], jnp.float32),
+            cy=jnp.asarray([f.cy / d for f in frames], jnp.float32),
+            c2w=jnp.asarray(np.stack([f.c2w for f in frames])),
+        )
+        masks = (
+            jnp.asarray(np.stack([down_map(f.mask) for f in frames]))
+            if has_mask
+            else None
+        )
+        depths = (
+            jnp.asarray(np.stack([down_map(f.depth) for f in frames]))
+            if has_depth
+            else None
+        )
+        mscales = (
+            jnp.asarray([f.mono_scale for f in frames], jnp.float32)
+            if frames[0].mono_scale is not None
+            else None
+        )
+        mshifts = (
+            jnp.asarray([f.mono_shift for f in frames], jnp.float32)
+            if frames[0].mono_shift is not None
+            else None
+        )
+        cache = (cams, imgs, masks, depths, mscales, mshifts)
+        jax.block_until_ready(imgs)
+        self._dev_cache = {d: cache}  # evict earlier buckets
+        return cache
+
+    @staticmethod
+    def _index_cache(cache, idx):
+        """Device-side slice of the cached train split for camera ``idx``
+        (an int or an (k,) int array for the DP batch)."""
+        cams, imgs, masks, depths, mscales, mshifts = cache
+        pick = lambda x: None if x is None else x[idx]
+        camera = jax.tree.map(lambda x: x[idx], cams)
+        return (
+            camera, imgs[idx], pick(masks), pick(depths),
+            pick(mscales), pick(mshifts),
+        )
 
     # -- setup ------------------------------------------------------------
     def setup(self) -> None:
@@ -426,9 +529,15 @@ class Trainer:
             use_cam_opt = self.config.camera_opt.mode != "off"
             if self.mesh is None:
                 cam_idx, frame = self.datamanager.next_train()
-                camera, gt, mask, depth, mscale, mshift = (
-                    self._frame_to_device(frame, d)
-                )
+                cache = self._device_train_cache(d)
+                if cache is not None:
+                    camera, gt, mask, depth, mscale, mshift = (
+                        self._index_cache(cache, cam_idx)
+                    )
+                else:
+                    camera, gt, mask, depth, mscale, mshift = (
+                        self._frame_to_device(frame, d)
+                    )
                 with timer("train_iteration"):
                     self.state, metrics = step_fn(
                         self.state, camera, gt, k, mask, depth, mscale,
@@ -447,33 +556,29 @@ class Trainer:
 
                 n_dev = local_mesh_size(self.mesh)
                 picks = [self.datamanager.next_train() for _ in range(n_dev)]
-                parts = [
-                    self._frame_to_device(f, d) for _, f in picks
-                ]
-                cameras = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[p[0] for p in parts]
-                )
-                gts = jnp.stack([p[1] for p in parts])
-                masks = (
-                    jnp.stack([p[2] for p in parts])
-                    if parts[0][2] is not None
-                    else None
-                )
-                depths = (
-                    jnp.stack([p[3] for p in parts])
-                    if parts[0][3] is not None
-                    else None
-                )
-                mscales = (
-                    jnp.stack([p[4] for p in parts])
-                    if parts[0][4] is not None
-                    else None
-                )
-                mshifts = (
-                    jnp.stack([p[5] for p in parts])
-                    if parts[0][5] is not None
-                    else None
-                )
+                cache = self._device_train_cache(d)
+                if cache is not None:
+                    idxs = jnp.asarray([i for i, _ in picks], jnp.int32)
+                    cameras, gts, masks, depths, mscales, mshifts = (
+                        self._index_cache(cache, idxs)
+                    )
+                else:
+                    parts = [
+                        self._frame_to_device(f, d) for _, f in picks
+                    ]
+                    cameras = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *[p[0] for p in parts]
+                    )
+                    gts = jnp.stack([p[1] for p in parts])
+                    stack_opt = lambda col: (
+                        jnp.stack([p[col] for p in parts])
+                        if parts[0][col] is not None
+                        else None
+                    )
+                    masks = stack_opt(2)
+                    depths = stack_opt(3)
+                    mscales = stack_opt(4)
+                    mshifts = stack_opt(5)
                 # distinct per-global-position keys: every process derives
                 # the full global split and keeps its slice
                 g = self.mesh.devices.size
