@@ -220,17 +220,6 @@ class Trainer:
         self._dev_cache = {d: cache}  # evict earlier buckets
         return cache
 
-    @staticmethod
-    def _index_cache(cache, idx):
-        """Device-side slice of the cached train split for camera ``idx``
-        (an int or an (k,) int array for the DP batch)."""
-        cams, imgs, masks, depths, mscales, mshifts = cache
-        pick = lambda x: None if x is None else x[idx]
-        camera = jax.tree.map(lambda x: x[idx], cams)
-        return (
-            camera, imgs[idx], pick(masks), pick(depths),
-            pick(mscales), pick(mshifts),
-        )
 
     # -- setup ------------------------------------------------------------
     def setup(self) -> None:
@@ -377,6 +366,76 @@ class Trainer:
                     ),
                     donate_argnums=(0,),
                 )
+        return self._step_cache[key]
+
+    def _step_fn_indexed(self, h: int, w: int, sh_degree: int,
+                         scale_reg: bool):
+        """Jitted step that indexes the device-resident train cache INSIDE
+        the program: one dispatch per step. Issuing the camera/image slices
+        as separate host-side ops costs a full runtime round trip each
+        (~30-40 ms through the tunnel) — at ~7 ops/step that dwarfed the
+        device compute. Single-host only (multi-host stitches the global
+        batch with host_local_to_global, which cannot live inside jit)."""
+        key = ("idx", h, w, sh_degree, scale_reg, self.state.scene.capacity,
+               self.raster_cfg.isect_capacity)
+        if key not in self._step_cache:
+            frozen = (
+                ("means",)
+                if getattr(self.config.model, "freeze_means", False)
+                else ()
+            )
+            use_cam_opt = self.config.camera_opt.mode != "off"
+            if self.mesh is not None:
+                from gstk_tpu.parallel.mesh import (
+                    DATA_AXIS,
+                    data_parallel_train_step,
+                )
+
+                base = make_train_step(
+                    self.config.model, self.raster_cfg, self.config.optim,
+                    h, w, sh_degree, apply_scale_reg=scale_reg,
+                    frozen_groups=frozen, axis_name=DATA_AXIS,
+                    camera_opt=self.config.camera_opt,
+                )
+                dp_step = data_parallel_train_step(base, self.mesh)
+                g = self.mesh.devices.size
+
+                def fn(state, cams, imgs, masks, depths, mscales, mshifts,
+                       idx, k):
+                    pick = lambda x: None if x is None else x[idx]
+                    cameras = jax.tree.map(lambda x: x[idx], cams)
+                    keys = jax.random.split(k, g)
+                    cam_indices = (
+                        idx.astype(jnp.int32) if use_cam_opt else None
+                    )
+                    return dp_step(
+                        state, cameras, imgs[idx], keys, pick(masks),
+                        pick(depths), cam_indices,
+                        mono_scales=pick(mscales),
+                        mono_shifts=pick(mshifts),
+                    )
+            else:
+                base = make_train_step(
+                    self.config.model, self.raster_cfg, self.config.optim,
+                    h, w, sh_degree, apply_scale_reg=scale_reg,
+                    frozen_groups=frozen,
+                    camera_opt=self.config.camera_opt,
+                )
+
+                def fn(state, cams, imgs, masks, depths, mscales, mshifts,
+                       idx, k):
+                    pick = lambda x: None if x is None else x[idx]
+                    camera = jax.tree.map(lambda x: x[idx], cams)
+                    cam_index = (
+                        jnp.asarray(idx, jnp.int32) if use_cam_opt else None
+                    )
+                    return base(
+                        state, camera, imgs[idx], k, pick(masks),
+                        pick(depths), pick(mscales), pick(mshifts),
+                        camera_index=cam_index,
+                    )
+
+            self._step_cache[key] = jax.jit(fn, donate_argnums=(0,))
         return self._step_cache[key]
 
     def _next_key(self):
@@ -531,21 +590,24 @@ class Trainer:
                 cam_idx, frame = self.datamanager.next_train()
                 cache = self._device_train_cache(d)
                 if cache is not None:
-                    camera, gt, mask, depth, mscale, mshift = (
-                        self._index_cache(cache, cam_idx)
-                    )
+                    # one dispatch: camera/image slicing runs inside jit
+                    fn = self._step_fn_indexed(h, w, sh_degree, scale_reg)
+                    with timer("train_iteration"):
+                        self.state, metrics = fn(
+                            self.state, *cache, np.int32(cam_idx), k
+                        )
                 else:
                     camera, gt, mask, depth, mscale, mshift = (
                         self._frame_to_device(frame, d)
                     )
-                with timer("train_iteration"):
-                    self.state, metrics = step_fn(
-                        self.state, camera, gt, k, mask, depth, mscale,
-                        mshift,
-                        camera_index=(
-                            jnp.int32(cam_idx) if use_cam_opt else None
-                        ),
-                    )
+                    with timer("train_iteration"):
+                        self.state, metrics = step_fn(
+                            self.state, camera, gt, k, mask, depth, mscale,
+                            mshift,
+                            camera_index=(
+                                jnp.int32(cam_idx) if use_cam_opt else None
+                            ),
+                        )
             else:
                 # each process contributes only its local devices' cameras;
                 # host_local_to_global stitches the global DP batch
@@ -556,12 +618,18 @@ class Trainer:
 
                 n_dev = local_mesh_size(self.mesh)
                 picks = [self.datamanager.next_train() for _ in range(n_dev)]
-                cache = self._device_train_cache(d)
+                cache = (
+                    self._device_train_cache(d)
+                    if jax.process_count() == 1
+                    else None  # multi-host stitches the batch on host
+                )
                 if cache is not None:
-                    idxs = jnp.asarray([i for i, _ in picks], jnp.int32)
-                    cameras, gts, masks, depths, mscales, mshifts = (
-                        self._index_cache(cache, idxs)
-                    )
+                    fn = self._step_fn_indexed(h, w, sh_degree, scale_reg)
+                    idxs = np.asarray([i for i, _ in picks], np.int32)
+                    with timer("train_iteration"):
+                        self.state, metrics = fn(
+                            self.state, *cache, idxs, k
+                        )
                 else:
                     parts = [
                         self._frame_to_device(f, d) for _, f in picks
@@ -579,31 +647,31 @@ class Trainer:
                     depths = stack_opt(3)
                     mscales = stack_opt(4)
                     mshifts = stack_opt(5)
-                # distinct per-global-position keys: every process derives
-                # the full global split and keeps its slice
-                g = self.mesh.devices.size
-                pid = jax.process_index()
-                keys = jax.random.split(k, g)[
-                    pid * n_dev : (pid + 1) * n_dev
-                ]
-                cam_indices = (
-                    jnp.asarray([i for i, _ in picks], jnp.int32)
-                    if use_cam_opt
-                    else None
-                )
-                batch = host_local_to_global(
-                    self.mesh,
-                    (cameras, gts, keys, masks, depths, cam_indices,
-                     mscales, mshifts),
-                )
-                cameras, gts, keys, masks, depths, cam_indices, mscales, \
-                    mshifts = batch
-                with timer("train_iteration"):
-                    self.state, metrics = step_fn(
-                        self.state, cameras, gts, keys, masks, depths,
-                        cam_indices, mono_scales=mscales,
-                        mono_shifts=mshifts,
+                    # distinct per-global-position keys: every process
+                    # derives the full global split and keeps its slice
+                    g = self.mesh.devices.size
+                    pid = jax.process_index()
+                    keys = jax.random.split(k, g)[
+                        pid * n_dev : (pid + 1) * n_dev
+                    ]
+                    cam_indices = (
+                        jnp.asarray([i for i, _ in picks], jnp.int32)
+                        if use_cam_opt
+                        else None
                     )
+                    batch = host_local_to_global(
+                        self.mesh,
+                        (cameras, gts, keys, masks, depths, cam_indices,
+                         mscales, mshifts),
+                    )
+                    cameras, gts, keys, masks, depths, cam_indices, \
+                        mscales, mshifts = batch
+                    with timer("train_iteration"):
+                        self.state, metrics = step_fn(
+                            self.state, cameras, gts, keys, masks, depths,
+                            cam_indices, mono_scales=mscales,
+                            mono_shifts=mshifts,
+                        )
 
             if (step + 1) % cfg.model.refine_every == 0:
                 k2 = self._next_key()
