@@ -211,7 +211,10 @@ def main():
     print(json.dumps(result), flush=True)
     # Record last-good for the watchdog's degraded path (only for the
     # default config — env-overridden runs would skew the record).
-    default_cfg = (img_h == 800 and n == 100_000 and isect_capacity == 1 << 20)
+    default_cfg = (
+        img_h == 800 and n == 100_000 and isect_capacity == 3 << 18
+        and capacity == 104 * 1024
+    )
     if default_cfg and not os.environ.get("BENCH_NO_RECORD"):
         try:
             with open(LAST_GOOD_PATH, "w") as f:
