@@ -19,10 +19,86 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def sweep(iters: int):
+    """Fixed-vs-marginal kernel cost: time the kernels over (T tiles, C
+    chunks/tile) combos with T*C held constant, fit time = T*X + T*C*Y.
+
+    Per-tile fixed cost X is the current kernel frontier (~1.7 us inferred
+    from step traces, docs/PERFORMANCE.md): loop entry/exit, scalar bin
+    reads, out-block writes, first-chunk semaphore round trip. The scene
+    here is synthetic: every entry is a huge low-opacity splat centered on
+    its tile, so every chunk composites fully (no early exit, no boundary
+    masking noise)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gstk_tpu.ops import raster_pallas as rp
+
+    ch = 4
+    total_chunks = 2048
+    results = []
+    for c_per_tile in (1, 2, 4, 8, 16):
+        t_tiles = total_chunks // c_per_tile
+        cap = total_chunks * 128
+        rng = np.random.default_rng(0)
+        attr = np.zeros((cap + 128, rp.ATTR_W), np.float32)
+        # entry e belongs to tile e // (c*128); tiles form one row
+        tile_of = np.arange(cap) // (c_per_tile * 128)
+        attr[:cap, 0] = tile_of * 16 + 8.0  # x at tile center
+        attr[:cap, 1] = 8.0
+        attr[:cap, 2] = 1e-4  # conic: huge splat, alpha ~ op everywhere
+        attr[:cap, 4] = 1e-4
+        attr[:cap, 5] = 0.003  # low opacity: no T<=1e-4 break within 16 chunks
+        attr[:cap, 6:10] = rng.uniform(0, 1, (cap, 4))
+        bins = np.stack(
+            [np.arange(t_tiles) * c_per_tile * 128,
+             (np.arange(t_tiles) + 1) * c_per_tile * 128], axis=-1
+        ).astype(np.int32)
+        tiles = (t_tiles, 1)
+        attr_j = jnp.asarray(attr)
+        bins_j = jnp.asarray(bins)
+        fwd = lambda a, b: rp.composite_tiles_fwd(a, b, tiles, 16, ch=ch)
+        packed = jax.block_until_ready(fwd(attr_j, bins_j))
+        ct = jnp.ones_like(packed)
+        bwd = lambda: rp.composite_tiles_bwd(
+            attr_j, bins_j, packed, ct, tiles, 16, ch=ch)
+        jax.block_until_ready(bwd())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(attr_j, bins_j)
+        jax.block_until_ready(out)
+        f_ms = (time.perf_counter() - t0) / iters * 1e3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = bwd()
+        jax.block_until_ready(out)
+        b_ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"T={t_tiles:5d} C={c_per_tile:3d}: fwd {f_ms:7.3f} ms "
+              f"bwd {b_ms:7.3f} ms")
+        results.append((t_tiles, c_per_tile, f_ms, b_ms))
+
+    a = np.array([[t, t * c] for t, c, _, _ in results], np.float64)
+    for name, col in (("fwd", 2), ("bwd", 3)):
+        y = np.array([r[col] for r in results]) * 1e3  # us
+        (x_fix, y_marg), *_ = np.linalg.lstsq(a, y, rcond=None)
+        print(f"{name}: per-tile fixed {x_fix:.3f} us, "
+              f"per-chunk marginal {y_marg:.3f} us")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--sweep", action="store_true",
+                    help="fixed-vs-marginal cost sweep over (tiles, chunks)")
     args = ap.parse_args()
+    if args.sweep:
+        # small per-call device times: enough iters to swamp the ~30-40 ms
+        # dispatch RTT of the tunneled runtime
+        sweep(max(args.iters, 50))
+        return
 
     import numpy as np
     import jax
