@@ -575,8 +575,9 @@ class Trainer:
         start_step = int(self.state.step)
         t_start = time.time()
         metrics_host: Dict = {}
+        t_window = time.perf_counter()
+        last_log_step = start_step - 1
         for step in range(start_step, cfg.max_num_iterations):
-            t_iter = time.perf_counter()
             d = downscale_factor(cfg.model, step)
             h, w = h_full // d, w_full // d
             sh_degree = min(
@@ -687,8 +688,15 @@ class Trainer:
                     )
 
             if step % cfg.log_every == 0 or step == cfg.max_num_iterations - 1:
+                # amortized per-step wall time over the whole window: steps
+                # dispatch asynchronously and only the metrics fetch here
+                # drains the device queue, so timing one iteration would
+                # charge it the entire backlog
                 metrics_host = {k_: float(v) for k_, v in metrics.items()}
-                dt = time.perf_counter() - t_iter
+                now = time.perf_counter()
+                dt = (now - t_window) / max(step - last_log_step, 1)
+                t_window = now
+                last_log_step = step
                 self.writer.put_dict(metrics_host, step)
                 self.writer.put_scalar(
                     EventName.TRAIN_RAYS_PER_SEC, h * w / max(dt, 1e-9), step
