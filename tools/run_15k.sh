@@ -41,6 +41,7 @@ launch() {
 
 for attempt in 1 2 3 4 5 6; do
   launch
+  LAUNCH_TS=$(date +%s)
   while true; do
     sleep 60
     if ! kill -0 "$TRAIN_PID" 2>/dev/null; then
@@ -51,15 +52,21 @@ for attempt in 1 2 3 4 5 6; do
       break  # crashed: relaunch from checkpoint
     fi
     m="$RUN_DIR/metrics.jsonl"
+    # staleness relative to the most recent of (metrics write, THIS
+    # launch): a resume starts with an old metrics file and must get its
+    # startup/compile window before the stall clock runs
+    ref=$LAUNCH_TS
     if [ -f "$m" ]; then
-      age=$(( $(date +%s) - $(stat -c %Y "$m") ))
-      if [ "$age" -gt "$STALL_S" ]; then
-        echo "run_15k: metrics stale ${age}s — killing hung trainer $TRAIN_PID"
-        kill -9 "$TRAIN_PID" 2>/dev/null
-        wait "$TRAIN_PID" 2>/dev/null
-        sleep 20  # let the device tunnel settle before reacquiring
-        break
-      fi
+      mt=$(stat -c %Y "$m")
+      [ "$mt" -gt "$ref" ] && ref=$mt
+    fi
+    age=$(( $(date +%s) - ref ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      echo "run_15k: progress stale ${age}s — killing hung trainer $TRAIN_PID"
+      kill -9 "$TRAIN_PID" 2>/dev/null
+      wait "$TRAIN_PID" 2>/dev/null
+      sleep 20  # let the device tunnel settle before reacquiring
+      break
     fi
   done
 done
