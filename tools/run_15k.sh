@@ -26,6 +26,7 @@ launch() {
     echo "run_15k: resuming from $(ls -t "$RUN_DIR"/ckpts/step-*.ckpt.npz | head -1)"
   fi
   python -m gstk_tpu.scripts.train gaussian-splatting \
+    ${extra[@]+"${extra[@]}"} \
     --data "$DATA" --output-dir "$OUT" --experiment-name raytraced64 \
     --max-num-iterations 15000 \
     --steps-per-save 2000 \
