@@ -82,6 +82,14 @@ def load_scene(path):
     return scene, step
 
 
+def peek_capacity(path):
+    """Gaussian capacity stored in a checkpoint, without loading it all."""
+    with np.load(path) as data:
+        if ".scene/.means" in data:
+            return int(data[".scene/.means"].shape[0])
+    return None
+
+
 def load_checkpoint(path, template: TrainState) -> TrainState:
     """Load into ``template``'s structure. If the template has a larger
     capacity than the checkpoint, arrays are padded with dead lanes."""

@@ -285,6 +285,15 @@ class Trainer:
         if cfg.load_dir is not None:
             path = ckpt.latest_checkpoint(cfg.load_dir)
             if path is not None:
+                # reference semantics: parameters resize to the CHECKPOINT's
+                # capacity before loading (vanilla_gs.py:236-258) —
+                # densification may have grown past this fresh init
+                ckpt_cap = ckpt.peek_capacity(path)
+                if ckpt_cap is not None and ckpt_cap > self.state.scene.capacity:
+                    self.state = init_train_state(
+                        grow_scene(self.state.scene, ckpt_cap),
+                        num_cameras=num_cams,
+                    )
                 self.state = ckpt.load_checkpoint(path, self.state)
                 print(f"Resumed from {path}")
         self._refine_fn = jax.jit(

@@ -67,6 +67,36 @@ def test_trainer_resume(tmp_path, rng):
     assert int(t2.state.step) == 14
 
 
+def test_trainer_resume_past_densify_growth(tmp_path, rng):
+    """A checkpoint written AFTER capacity growth must resume into a fresh
+    trainer whose initial capacity is smaller (reference semantics: params
+    resize to the checkpoint's N, vanilla_gs.py:236-258)."""
+    data = _make_dataset(tmp_path, rng)
+    cfg = _config(data, tmp_path / "out", iters=10)
+    t1 = Trainer(cfg)
+    t1.setup()
+    t1.train()
+    cap1 = t1.state.scene.capacity
+
+    # simulate a post-growth checkpoint: grow to 2x and save
+    from gstk_tpu.core.gaussians import grow_scene
+    from gstk_tpu.train.step import init_train_state
+
+    grown = init_train_state(grow_scene(t1.state.scene, cap1 * 2))
+    grown = grown._replace(step=t1.state.step)
+    ckpt.save_checkpoint(cfg.run_dir / "ckpts", grown, True)
+
+    cfg2 = dataclasses.replace(
+        cfg, max_num_iterations=12, load_dir=cfg.run_dir / "ckpts"
+    )
+    t2 = Trainer(cfg2)
+    t2.setup()
+    assert t2.state.scene.capacity == cap1 * 2
+    assert int(t2.state.step) == 10
+    t2.train()
+    assert int(t2.state.step) == 12
+
+
 def test_isect_growth_switches_to_bands(tmp_path):
     """Past the 2^20 sort ceiling the trainer must add rasterization bands
     instead of growing the buffer into the lax.sort cliff."""
