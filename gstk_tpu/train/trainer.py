@@ -576,6 +576,27 @@ class Trainer:
                     self.raster_cfg, bands=new_bands
                 )
             self._step_cache.clear()
+        elif (
+            self.raster_cfg.bands > 1
+            and n_isect * self.raster_cfg.bands
+            < 0.6 * self.raster_cfg.isect_capacity * (self.raster_cfg.bands - 1)
+        ):
+            # Bands must also SHRINK: post-opacity-reset densification
+            # transiently spikes intersections every reset interval, and a
+            # band added for the spike otherwise degrades every later step
+            # (observed: a 15k run crept to 4 bands and ran 330 ms/step vs
+            # 185 at 2). With B-1 bands the worst band sees roughly
+            # n * B/(B-1); requiring that under 0.6*cap (vs the 0.9 growth
+            # trigger) gives hysteresis against oscillation.
+            new_bands = self.raster_cfg.bands - 1
+            print(
+                f"Intersections ({n_isect}/band) well under budget; "
+                f"merging to {new_bands} rasterization band(s)"
+            )
+            self.raster_cfg = dataclasses.replace(
+                self.raster_cfg, bands=new_bands
+            )
+            self._step_cache.clear()
 
     # -- main loop ---------------------------------------------------------
     def train(self) -> None:

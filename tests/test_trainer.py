@@ -136,6 +136,17 @@ def test_isect_growth_switches_to_bands(tmp_path):
     tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 20))})
     assert tr.raster_cfg.isect_capacity == 1 << 20
     assert tr.raster_cfg.bands == 2
+    # borderline per-band load keeps both bands (hysteresis: shrink only
+    # when a merged band would sit well under the growth trigger)
+    tr._maybe_grow(
+        {"num_alive": 0, "num_intersects": int(0.4 * (1 << 20))}
+    )
+    assert tr.raster_cfg.bands == 2
+    # once the post-reset transient passes, bands merge back
+    tr._maybe_grow(
+        {"num_alive": 0, "num_intersects": int(0.2 * (1 << 20))}
+    )
+    assert tr.raster_cfg.bands == 1
     # gaussian capacity saturates at max_capacity without resizing
     cap = tr.state.scene.capacity
     tr.config = dataclasses.replace(tr.config, max_capacity=cap)
