@@ -326,21 +326,22 @@ def _make_composite_pallas(
         the kernels read 128-aligned blocks COVERING each tile's unpadded
         range and mask the boundary lanes, which removed an ~8 ms pack
         gather at 1M intersections). The binning sentinel gid (== n) and
-        the CHUNK rows of tail slack index an all-zero table row."""
+        the CHUNK rows of tail slack index an all-zero table row — the
+        sentinel row is appended to each COLUMN before the concat (a
+        trailing row-append on the assembled (N, 128) table lowers to a
+        full-table pad copy: 537 MB / 1.6 ms at 1M capacity)."""
         n = xys.shape[0]
+        zrow = lambda c: jnp.zeros((1, c), jnp.float32)
         base = jnp.concatenate(
             [
-                xys,
-                conics,
-                opacities[:, None],
-                colors,
-                jnp.zeros((n, rp.ATTR_W - used), jnp.float32),
+                jnp.concatenate([xys, zrow(2)], axis=0),
+                jnp.concatenate([conics, zrow(3)], axis=0),
+                jnp.concatenate([opacities[:, None], zrow(1)], axis=0),
+                jnp.concatenate([colors, zrow(colors.shape[1])], axis=0),
+                jnp.zeros((n + 1, rp.ATTR_W - used), jnp.float32),
             ],
             axis=1,
-        )  # (N, ATTR_W)
-        base = jnp.concatenate(
-            [base, jnp.zeros((1, rp.ATTR_W), jnp.float32)], axis=0
-        )
+        )  # (N + 1, ATTR_W)
         gid_ext = jnp.concatenate(
             [sorted_gids, jnp.full((rp.CHUNK,), n, jnp.int32)]
         )

@@ -51,7 +51,11 @@ def sweep(iters: int):
         attr[:cap, 1] = 8.0
         attr[:cap, 2] = 1e-4  # conic: huge splat, alpha ~ op everywhere
         attr[:cap, 4] = 1e-4
-        attr[:cap, 5] = 0.003  # low opacity: no T<=1e-4 break within 16 chunks
+        # opacity just over the 1/255 cutoff: every entry composites
+        # (outputs are verifiably nonzero) and T reaches the 1e-4 break
+        # only after ~2300 entries — past the largest C here, so no tile
+        # early-exits and every chunk runs its full math
+        attr[:cap, 5] = 0.004
         attr[:cap, 6:10] = rng.uniform(0, 1, (cap, 4))
         bins = np.stack(
             [np.arange(t_tiles) * c_per_tile * 128,
@@ -73,19 +77,24 @@ def sweep(iters: int):
         f_ms = (time.perf_counter() - t0) / iters * 1e3
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = bwd()
-        jax.block_until_ready(out)
+            outb = bwd()
+        jax.block_until_ready(outb)
         b_ms = (time.perf_counter() - t0) / iters * 1e3
+        acc = float(jnp.sum(jnp.abs(packed[:, 0:4, :])))
         print(f"T={t_tiles:5d} C={c_per_tile:3d}: fwd {f_ms:7.3f} ms "
-              f"bwd {b_ms:7.3f} ms")
+              f"bwd {b_ms:7.3f} ms   (|acc|={acc:.3e}, must be >0)")
         results.append((t_tiles, c_per_tile, f_ms, b_ms))
 
-    a = np.array([[t, t * c] for t, c, _, _ in results], np.float64)
+    # C=1 measures anomalously fast (~100x below any possible DMA+compute
+    # bound — under investigation; suspected degenerate lowering) and is
+    # excluded from the fit.
+    rows = [r for r in results if r[1] >= 2]
+    a = np.array([[t, t * c] for t, c, _, _ in rows], np.float64)
     for name, col in (("fwd", 2), ("bwd", 3)):
-        y = np.array([r[col] for r in results]) * 1e3  # us
+        y = np.array([r[col] for r in rows]) * 1e3  # us
         (x_fix, y_marg), *_ = np.linalg.lstsq(a, y, rcond=None)
         print(f"{name}: per-tile fixed {x_fix:.3f} us, "
-              f"per-chunk marginal {y_marg:.3f} us")
+              f"per-chunk marginal {y_marg:.3f} us  (C>=2 rows)")
 
 
 def main():
