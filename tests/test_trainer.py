@@ -45,9 +45,15 @@ def test_trainer_end_to_end(tmp_path, rng):
     assert int(trainer.state.step) == cfg.max_num_iterations
     # metrics jsonl written
     assert (cfg.run_dir / "metrics.jsonl").exists()
-    # eval renders work
+    # eval renders work; the one-dispatch device eval path must agree with
+    # the per-frame host loop
     results = trainer.eval_all(step=12)
     assert "eval_psnr" in results and np.isfinite(results["eval_psnr"])
+    frames = trainer.datamanager.eval_frames
+    p_dev, s_dev = trainer._eval_all_device(frames)
+    p_host, s_host = trainer._eval_all_host(frames)
+    np.testing.assert_allclose(np.mean(p_dev), np.mean(p_host), rtol=1e-4)
+    np.testing.assert_allclose(np.mean(s_dev), np.mean(s_host), rtol=1e-4)
 
 
 def test_trainer_resume(tmp_path, rng):
