@@ -37,18 +37,38 @@ def _flatten(state: TrainState):
 
 
 def save_checkpoint(
-    ckpt_dir, state: TrainState, keep_only_latest: bool = True
+    ckpt_dir, state: TrainState, keep_only_latest: bool = True,
+    extras: Optional[dict] = None,
 ) -> Path:
+    """``extras``: scalar run metadata saved alongside the state (keys
+    prefixed ``.meta/``) — notably the grown rasterizer shape config
+    (isect_capacity, bands): a densified scene needs the GROWN intersection
+    budget, and a fresh process evaluating/resuming from the checkpoint
+    would otherwise silently truncate intersections at the config default
+    (observed: eval PSNR 20.1 -> 15.2 on the 15k run's checkpoint)."""
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     step = int(state.step)
     path = ckpt_dir / f"step-{step:09d}.ckpt.npz"
-    np.savez(path, **_flatten(state))
+    flat = _flatten(state)
+    for k, v in (extras or {}).items():
+        flat[f".meta/{k}"] = np.asarray(v)
+    np.savez(path, **flat)
     if keep_only_latest:
         for p in ckpt_dir.glob("step-*.ckpt.npz"):
             if p != path:
                 p.unlink()
     return path
+
+
+def peek_meta(path) -> dict:
+    """Scalar run metadata stored by ``save_checkpoint(extras=...)``."""
+    out = {}
+    with np.load(path) as data:
+        for k in data.files:
+            if k.startswith(".meta/"):
+                out[k[len(".meta/"):]] = data[k].item()
+    return out
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
