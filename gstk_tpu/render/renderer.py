@@ -19,7 +19,7 @@ from gstk_tpu.core.cameras import Camera
 from gstk_tpu.core.gaussians import GaussianScene
 from gstk_tpu.models.vanilla import VanillaConfig, render_scene
 from gstk_tpu.ops.rasterize import RasterizeConfig
-from gstk_tpu.train.checkpoint import latest_checkpoint, load_scene
+from gstk_tpu.train.checkpoint import latest_checkpoint, load_scene, peek_meta
 
 
 class Renderer:
@@ -40,10 +40,24 @@ class Renderer:
             path = found
         self.scene, self.step = load_scene(path)
         self.model_config = model_config
+        # The trainer persists the GROWN rasterizer shape (isect_capacity,
+        # bands) with every checkpoint (train/checkpoint.py save extras): a
+        # densified scene can need more bands than resolution-based
+        # auto-banding provides, and truncated intersections silently wreck
+        # offline eval (observed PSNR 20.1 -> 15.2 on the 15k checkpoint).
+        self._meta_bands = 0
+        try:
+            meta = peek_meta(path)
+            self._meta_bands = int(meta.get("bands", 0))
+        except Exception:
+            pass
+        self._auto_raster = raster_config is None
         if raster_config is None:
             # full per-band budget + auto-banding: offline renders of any
             # resolution stay under the 2^20 sort ceiling per band
-            # (docs/PERFORMANCE.md; 2^21 also trips a TPU backend error)
+            # (docs/PERFORMANCE.md; 2^21 also trips a TPU backend error).
+            # bands=0 resolves per render size in _render_fn, floored at
+            # the checkpoint's trained band count.
             raster_config = RasterizeConfig(
                 isect_capacity=1 << 20, bands=0
             )
@@ -51,16 +65,32 @@ class Renderer:
         self.background = jnp.asarray(background, jnp.float32)
         self._cache: Dict = {}
 
+    def _raster_for(self, h: int, w: int) -> RasterizeConfig:
+        """Resolve the per-size rasterizer config: auto bands from the pixel
+        count, floored at the band count the checkpoint trained with."""
+        rc = self.raster_config
+        bands = rc.bands
+        if bands == 0:  # auto (matches ops/rasterize.py)
+            bands = max(1, -(-h * w // 640_000))
+        if self._auto_raster:
+            bands = max(bands, self._meta_bands)
+        if bands != rc.bands:
+            import dataclasses
+
+            rc = dataclasses.replace(rc, bands=bands)
+        return rc
+
     def _render_fn(self, h: int, w: int, has_crop: bool):
         key = (h, w, has_crop)
         if key not in self._cache:
             cfg = self.model_config
+            raster_cfg = self._raster_for(h, w)
 
             def fn(scene: GaussianScene, camera: Camera, crop_box=None):
                 return render_scene(
                     scene, camera, h, w,
                     sh_degree=cfg.sh_degree, background=self.background,
-                    config=cfg, raster_config=self.raster_config,
+                    config=cfg, raster_config=raster_cfg,
                     crop_box=crop_box,
                 )
 

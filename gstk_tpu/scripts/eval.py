@@ -62,6 +62,71 @@ def compute_lpips(pairs, weights_path=None):
     return float(np.mean(vals))
 
 
+def batched_eval(renderer, frames, lpips_params=None):
+    """Whole eval split in ONE jitted ``lax.map``: render + PSNR + SSIM
+    (+ LPIPS when device weights are supplied) per view on device, fetching
+    scalars only. The per-image host loop pays two full-image host<->device
+    round trips plus several dispatches per view (~0.7 s/view through a
+    tunneled runtime); this path matches the trainer's in-training eval
+    (train/trainer.py _eval_all_device) so standalone gs-eval reproduces the
+    same numbers at the same speed. Requires equal image shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstk_tpu.core.cameras import Camera
+    from gstk_tpu.models.vanilla import render_scene
+    from gstk_tpu.utils import losses
+
+    h, w = frames[0].image.shape[:2]
+    n = len(frames)
+    cams = Camera(
+        fx=jnp.asarray([f.fx for f in frames], jnp.float32),
+        fy=jnp.asarray([f.fy for f in frames], jnp.float32),
+        cx=jnp.asarray([f.cx for f in frames], jnp.float32),
+        cy=jnp.asarray([f.cy for f in frames], jnp.float32),
+        c2w=jnp.asarray(np.stack([np.asarray(f.c2w, np.float32)[:3, :4]
+                                  for f in frames])),
+    )
+    gts = jnp.asarray(np.stack([f.image for f in frames]), jnp.float32)
+    bg = renderer.background
+    cfg = renderer.model_config
+    rc = renderer._raster_for(h, w)
+    use_lpips = lpips_params is not None
+    if use_lpips:
+        from gstk_tpu.utils.lpips import lpips as lpips_fn
+
+    def one(scene, cams, gts, lp, i):
+        camera = jax.tree.map(lambda x: x[i], cams)
+        out = render_scene(
+            scene, camera, h, w, sh_degree=cfg.sh_degree, background=bg,
+            config=cfg, raster_config=rc,
+        )
+        gt = gts[i]
+        if gt.shape[-1] == 4:  # composite RGBA GT (vanilla_gs.py:870-878)
+            a = gt[..., 3:4]
+            gt = a * gt[..., :3] + (1.0 - a) * bg
+        pred = out["rgb"]
+        mse = jnp.mean((pred - gt) ** 2)
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        s = losses.ssim(gt, pred)
+        l = lpips_fn(lp, gt, pred) if use_lpips else jnp.float32(0.0)
+        return psnr, s, l
+
+    @jax.jit
+    def fn(scene, cams, gts, lp):
+        return jax.lax.map(
+            lambda i: one(scene, cams, gts, lp, i),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+
+    psnrs, ssims, lpips_vals = fn(renderer.scene, cams, gts, lpips_params)
+    return (
+        np.asarray(psnrs),
+        np.asarray(ssims),
+        np.asarray(lpips_vals) if use_lpips else None,
+    )
+
+
 def main(argv=None) -> None:
     import jax.numpy as jnp
 
@@ -83,34 +148,63 @@ def main(argv=None) -> None:
     renderer = Renderer(run_dir / "ckpts", model_config=config.model)
     dm = FullImageDatamanager(config.dataparser, seed=config.seed)
 
-    psnrs, ssims, pairs = [], [], []
-    t0 = time.perf_counter()
-    n_rays = 0
-    bg = np.asarray(renderer.background, np.float32)
-    for frame in dm.eval_frames:
-        gt = frame.image
-        if gt.shape[-1] == 4:
-            # composite RGBA GT over the render background
-            # (vanilla_gs.py:870-878)
-            a = gt[..., 3:4]
-            gt = a * gt[..., :3] + (1.0 - a) * bg
-        h, w = gt.shape[:2]
-        out = renderer.get_output_from_pose(
-            frame.c2w, frame.fx, frame.fy, frame.cx, frame.cy, h, w
-        )
-        mse = float(np.mean((out["rgb"] - gt) ** 2))
-        psnrs.append(-10 * np.log10(max(mse, 1e-10)))
-        ssims.append(
-            float(losses.ssim(jnp.asarray(gt), jnp.asarray(out["rgb"])))
-        )
-        pairs.append((gt, out["rgb"]))
-        n_rays += h * w
-    dt = time.perf_counter() - t0
+    import os
 
-    lpips = (
-        None if args.skip_lpips
-        else compute_lpips(pairs, weights_path=args.lpips_weights)
+    frames = dm.eval_frames
+    weights_path = args.lpips_weights or os.environ.get("GSTK_LPIPS_WEIGHTS")
+    same_shape = frames and all(
+        f.image.shape == frames[0].image.shape for f in frames
     )
+    # Device path: one jitted lax.map over the split (scalars-only fetch;
+    # LPIPS rides along on-device when npz weights are supplied). The
+    # per-image host loop remains for mixed image shapes or the
+    # torchvision-feature LPIPS proxy (which needs prediction images on
+    # host).
+    device_ok = same_shape and (
+        args.skip_lpips or weights_path is not None
+    )
+    t0 = time.perf_counter()
+    lpips = None
+    if device_ok:
+        lpips_params = None
+        if weights_path is not None and not args.skip_lpips:
+            from gstk_tpu.utils.lpips import load_lpips_params
+
+            lpips_params = load_lpips_params(weights_path)
+        psnr_a, ssim_a, lpips_a = batched_eval(renderer, frames, lpips_params)
+        psnrs, ssims = list(psnr_a), list(ssim_a)
+        if lpips_a is not None:
+            lpips = float(np.mean(lpips_a))
+        h, w = frames[0].image.shape[:2]
+        n_rays = len(frames) * h * w
+        dt = time.perf_counter() - t0
+    else:
+        psnrs, ssims, pairs = [], [], []
+        n_rays = 0
+        bg = np.asarray(renderer.background, np.float32)
+        for frame in frames:
+            gt = frame.image
+            if gt.shape[-1] == 4:
+                # composite RGBA GT over the render background
+                # (vanilla_gs.py:870-878)
+                a = gt[..., 3:4]
+                gt = a * gt[..., :3] + (1.0 - a) * bg
+            h, w = gt.shape[:2]
+            out = renderer.get_output_from_pose(
+                frame.c2w, frame.fx, frame.fy, frame.cx, frame.cy, h, w
+            )
+            mse = float(np.mean((out["rgb"] - gt) ** 2))
+            psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+            ssims.append(
+                float(losses.ssim(jnp.asarray(gt), jnp.asarray(out["rgb"])))
+            )
+            pairs.append((gt, out["rgb"]))
+            n_rays += h * w
+        dt = time.perf_counter() - t0
+        lpips = (
+            None if args.skip_lpips
+            else compute_lpips(pairs, weights_path=args.lpips_weights)
+        )
     if lpips is None and not args.skip_lpips:
         import sys
 

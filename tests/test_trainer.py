@@ -158,3 +158,37 @@ def test_isect_growth_switches_to_bands(tmp_path):
     tr.config = dataclasses.replace(tr.config, max_capacity=cap)
     tr._maybe_grow({"num_alive": int(0.9 * cap), "num_intersects": 0})
     assert tr.state.scene.capacity == cap
+
+
+def test_renderer_reads_checkpoint_raster_meta(tmp_path):
+    """The standalone Renderer (gs-eval/gs-render/gs-export path) must floor
+    its band count at the checkpoint's persisted trained bands: a densified
+    scene can need more bands than resolution-based auto-banding provides,
+    and truncated intersections silently wreck offline eval (observed PSNR
+    20.1 -> 15.2 on the 15k run's checkpoint before this wiring)."""
+    import jax
+
+    from gstk_tpu.core.gaussians import init_scene
+    from gstk_tpu.render.renderer import Renderer
+    from gstk_tpu.train.step import init_train_state
+
+    scene = init_scene(jax.random.PRNGKey(0), 256, num_random=64)
+    state = init_train_state(scene)
+    path = ckpt.save_checkpoint(
+        tmp_path / "ckpts", state, True,
+        extras={"bands": 3, "isect_capacity": 1 << 20},
+    )
+    r = Renderer(path)
+    # small render: auto would pick 1 band; the trained floor wins
+    assert r._raster_for(64, 48).bands == 3
+    # large render: resolution-auto exceeds the floor
+    assert r._raster_for(2400, 1600).bands == max(3, -(-2400 * 1600 // 640_000))
+    # explicit raster_config is never overridden
+    from gstk_tpu.ops.rasterize import RasterizeConfig
+
+    r2 = Renderer(path, raster_config=RasterizeConfig(bands=1))
+    assert r2._raster_for(64, 48).bands == 1
+    # a meta-less checkpoint behaves as before (pure auto)
+    path2 = ckpt.save_checkpoint(tmp_path / "ckpts2", state, True)
+    r3 = Renderer(path2)
+    assert r3._raster_for(64, 48).bands == 1
