@@ -81,6 +81,22 @@ def test_cli_end_to_end(dataset, tmp_path):
     assert results["results"]["num_images"] == 2
     assert np.isfinite(results["results"]["psnr"])
 
+    # the one-dispatch device eval (--skip-lpips, equal shapes) must agree
+    # with the per-image host loop (no --skip-lpips and no LPIPS weights
+    # falls back to it)
+    eval_json2 = tmp_path / "eval_host.json"
+    eval_script.main([
+        "--load-config", str(config_yml),
+        "--output-path", str(eval_json2),
+    ])
+    host = json.loads(eval_json2.read_text())["results"]
+    np.testing.assert_allclose(
+        results["results"]["psnr"], host["psnr"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        results["results"]["ssim"], host["ssim"], atol=1e-4
+    )
+
     # gs-render pose
     render_out = tmp_path / "renders"
     render_script.main([
