@@ -86,8 +86,12 @@ def sweep(iters: int):
         results.append((t_tiles, c_per_tile, f_ms, b_ms))
 
     # C=1 measures anomalously fast (~100x below any possible DMA+compute
-    # bound — under investigation; suspected degenerate lowering) and is
-    # excluded from the fit.
+    # bound — suspected degenerate Mosaic lowering of the 1-trip chunk
+    # loop) and is excluded from the fit. Interpret-mode parity against a
+    # sequential-compositing reference confirms the single-chunk-per-tile
+    # case is numerically CORRECT (max err ~1e-4, same as C=2), so the
+    # anomaly is a timing artifact, not a masked correctness bug; a Mosaic
+    # scalar-core trace is still needed to explain the on-device number.
     rows = [r for r in results if r[1] >= 2]
     a = np.array([[t, t * c] for t, c, _, _ in rows], np.float64)
     for name, col in (("fwd", 2), ("bwd", 3)):
