@@ -46,12 +46,17 @@ class Renderer:
         # auto-banding provides, and truncated intersections silently wreck
         # offline eval (observed PSNR 20.1 -> 15.2 on the 15k checkpoint).
         self._meta_bands = 0
+        # Active (ramp-clamped) SH degree at save time; default to the model
+        # config for checkpoints predating the field. Rendering with
+        # cfg.sh_degree instead would only match when inactive rest
+        # coefficients are still exactly zero.
+        self.sh_degree = model_config.sh_degree
         try:
             meta = peek_meta(path)
             self._meta_bands = int(meta.get("bands", 0))
+            self.sh_degree = int(meta.get("sh_degree", self.sh_degree))
         except Exception:
             pass
-        self._auto_raster = raster_config is None
         if raster_config is None:
             # full per-band budget + auto-banding: offline renders of any
             # resolution stay under the 2^20 sort ceiling per band
@@ -72,7 +77,11 @@ class Renderer:
         bands = rc.bands
         if bands == 0:  # auto (matches ops/rasterize.py)
             bands = max(1, -(-h * w // 640_000))
-        if self._auto_raster:
+            # bands=0 means "auto", not an explicit band choice: the
+            # checkpoint floor applies to any auto-banded config (a caller
+            # tweaking only capacity must not silently lose the floor and
+            # re-expose intersection truncation). Explicit bands >= 1 opt
+            # out of the floor.
             bands = max(bands, self._meta_bands)
         if bands != rc.bands:
             import dataclasses
@@ -89,7 +98,7 @@ class Renderer:
             def fn(scene: GaussianScene, camera: Camera, crop_box=None):
                 return render_scene(
                     scene, camera, h, w,
-                    sh_degree=cfg.sh_degree, background=self.background,
+                    sh_degree=self.sh_degree, background=self.background,
                     config=cfg, raster_config=raster_cfg,
                     crop_box=crop_box,
                 )

@@ -98,7 +98,7 @@ def batched_eval(renderer, frames, lpips_params=None):
     def one(scene, cams, gts, lp, i):
         camera = jax.tree.map(lambda x: x[i], cams)
         out = render_scene(
-            scene, camera, h, w, sh_degree=cfg.sh_degree, background=bg,
+            scene, camera, h, w, sh_degree=renderer.sh_degree, background=bg,
             config=cfg, raster_config=rc,
         )
         gt = gts[i]
@@ -141,11 +141,22 @@ def main(argv=None) -> None:
     parser.add_argument("--skip-lpips", action="store_true")
     parser.add_argument("--lpips-weights", type=Path, default=None,
                         help="npz with VGG16+LPIPS weights (utils/lpips.py)")
+    parser.add_argument("--force-host-loop", action="store_true",
+                        help="bypass the one-dispatch device eval and use "
+                             "the per-image host loop (parity debugging)")
     args = parser.parse_args(argv)
 
     config = load_config(args.load_config)
     run_dir = args.load_config.parent
-    renderer = Renderer(run_dir / "ckpts", model_config=config.model)
+    # Same fixed eval background as the trainer's in-training eval
+    # (train/trainer.py _EVAL_BACKGROUND) — the reference's ComputePSNR goes
+    # through the same model path as in-training eval, so gs-eval on a black
+    # background would diverge from the trainer's reported eval PSNR whenever
+    # GT has alpha or the render has empty pixels.
+    from gstk_tpu.utils.colors import EVAL_BACKGROUND
+
+    renderer = Renderer(run_dir / "ckpts", model_config=config.model,
+                        background=EVAL_BACKGROUND)
     dm = FullImageDatamanager(config.dataparser, seed=config.seed)
 
     import os
@@ -160,7 +171,7 @@ def main(argv=None) -> None:
     # per-image host loop remains for mixed image shapes or the
     # torchvision-feature LPIPS proxy (which needs prediction images on
     # host).
-    device_ok = same_shape and (
+    device_ok = same_shape and not args.force_host_loop and (
         args.skip_lpips or weights_path is not None
     )
     t0 = time.perf_counter()

@@ -43,8 +43,11 @@ from gstk_tpu.utils import losses as loss_utils
 from gstk_tpu.utils.profiler import PROFILER, timer
 
 # nerfstudio's fixed eval background (the reference renders eval frames on
-# it when background_color is "random"; GT composites over the same color)
-_EVAL_BACKGROUND = np.array([0.1490, 0.1647, 0.2157], np.float32)
+# it when background_color is "random"; GT composites over the same color).
+# Shared with gs-eval so offline eval reproduces in-training numbers.
+from gstk_tpu.utils.colors import EVAL_BACKGROUND
+
+_EVAL_BACKGROUND = np.array(EVAL_BACKGROUND, np.float32)
 from gstk_tpu.utils.writer import (
     EventName,
     GLOBAL_WRITER,
@@ -465,9 +468,18 @@ class Trainer:
         budget; a fresh process resuming/evaluating from the checkpoint
         would otherwise truncate intersections at the config default
         (observed as a 5 dB eval-PSNR drop on the 15k run's checkpoint)."""
+        cfg = self.config
         return {
             "isect_capacity": self.raster_cfg.isect_capacity,
             "bands": self.raster_cfg.bands,
+            # Active (ramp-clamped) SH degree at save time: offline eval must
+            # render with it, not cfg.sh_degree — an early-ramp checkpoint
+            # whose rest coefficients have drifted from zero would otherwise
+            # diverge from in-training eval numbers.
+            "sh_degree": min(
+                int(self.state.step) // cfg.model.sh_degree_interval,
+                cfg.model.sh_degree,
+            ),
         }
 
     def _next_key(self):

@@ -17,6 +17,12 @@ COLORS_DICT = {
     "viser": (0.1490, 0.1647, 0.2157),  # viser default background
 }
 
+# nerfstudio's fixed eval background: the reference renders eval frames on
+# it when background_color is "random" and composites RGBA GT over the same
+# color. Both the trainer's in-training eval and gs-eval must use this so
+# offline eval reproduces in-training numbers.
+EVAL_BACKGROUND = COLORS_DICT["viser"]
+
 
 def get_color(color) -> jnp.ndarray:
     """Name or RGB sequence -> (3,) float array in [0, 1]."""

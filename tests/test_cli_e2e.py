@@ -42,7 +42,12 @@ def test_cli_cogs_with_depth(dataset, tmp_path):
     assert runs and (runs[0] / "ckpts").exists()
 
 
-def test_cli_end_to_end(dataset, tmp_path):
+def test_cli_end_to_end(dataset, tmp_path, monkeypatch):
+    # A GSTK_LPIPS_WEIGHTS leak would route BOTH eval runs below through the
+    # device path (vacuous parity check); force the second run onto the host
+    # loop explicitly instead of relying on the no-weights LPIPS fallback
+    # (which, on a networked machine, would download torchvision weights).
+    monkeypatch.delenv("GSTK_LPIPS_WEIGHTS", raising=False)
     from gstk_tpu.scripts import eval as eval_script
     from gstk_tpu.scripts import export as export_script
     from gstk_tpu.scripts import render as render_script
@@ -82,12 +87,13 @@ def test_cli_end_to_end(dataset, tmp_path):
     assert np.isfinite(results["results"]["psnr"])
 
     # the one-dispatch device eval (--skip-lpips, equal shapes) must agree
-    # with the per-image host loop (no --skip-lpips and no LPIPS weights
-    # falls back to it)
+    # with the per-image host loop
     eval_json2 = tmp_path / "eval_host.json"
     eval_script.main([
         "--load-config", str(config_yml),
         "--output-path", str(eval_json2),
+        "--skip-lpips",
+        "--force-host-loop",
     ])
     host = json.loads(eval_json2.read_text())["results"]
     np.testing.assert_allclose(
