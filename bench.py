@@ -187,6 +187,21 @@ def main():
             file=sys.stderr,
         )
 
+    # Hardware parity gate: the pallas kernels' precision contracts
+    # (bf16-split exact dots, segment-kernel limb recombination) only
+    # exercise on real hardware; assert pallas-vs-jax image/grad parity
+    # before timing so every driver bench run re-validates them
+    # (VERDICT round-2 item 8). Skippable for non-default experiments.
+    parity = "skipped"
+    if jax.default_backend() == "tpu" and not os.environ.get(
+        "BENCH_NO_PARITY"
+    ):
+        _log_phase("hardware parity check (pallas vs jax)")
+        from gstk_tpu.utils.parity import check_pallas_parity
+
+        check_pallas_parity()  # raises on divergence -> no bench output
+        parity = "ok"
+
     iters = 20
     # Pre-split keys: a per-iteration random.split adds a full host->device
     # dispatch round trip through the (tunneled) runtime, which dominated
@@ -206,6 +221,7 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / EXTERNAL_BASELINE_RAYS_PER_S,
+        "parity": parity,
     }
     _phase["done"] = True
     print(json.dumps(result), flush=True)

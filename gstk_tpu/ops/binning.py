@@ -94,6 +94,7 @@ def bin_gaussians(
     tile_bounds: Tuple[int, int],
     block_width: int,
     capacity: int,
+    segment_backend: str = "xla",
 ) -> Intersections:
     """Build the sorted per-tile intersection list with a static capacity.
 
@@ -107,6 +108,13 @@ def bin_gaussians(
         tile_bounds: (tiles_x, tiles_y) static.
         block_width: tile side in pixels (16).
         capacity: static max number of intersections kept.
+        segment_backend: "xla" (portable scatter+cumsum passes),
+            "pallas" / "pallas_interpret" (the sorted-boundary
+            segment-broadcast kernel, ``ops/segment_kernel.py`` — one
+            MXU mask-matmul call replaces all three passes; at 1M
+            capacity 3.2 ms vs 28.3 ms measured on hardware). The
+            kernel path covers the one-word packing branch (all banded
+            configs); wider packings fall back to XLA.
     """
     n = xys.shape[0]
     num_tiles = tile_bounds[0] * tile_bounds[1]
@@ -114,15 +122,6 @@ def bin_gaussians(
     cum = _cumsum_1d(counts)
     total = cum[-1] if n > 0 else jnp.int32(0)
     cum_excl = cum - counts
-
-    # Slot -> gaussian id via boundary marks + cumsum (gid of slot j =
-    # #gaussians whose cumulative count <= j). Avoids jnp.repeat, whose
-    # internals lower to ~7 ms 1-D gathers at 1M slots on TPU; slots past
-    # the true total get gid == n (the sentinel) for free.
-    marks = jnp.zeros((capacity + 1,), jnp.int32).at[cum].add(1, mode="drop")
-    gid = _cumsum_1d(marks[:-1])
-    is_real = gid < n
-    gid_c = jnp.minimum(gid, max(n - 1, 0))
 
     # Per-gaussian values broadcast to slots: gid is monotone, so every
     # per-slot quantity is piecewise-constant over [cum_excl, cum) segments
@@ -155,7 +154,14 @@ def bin_gaussians(
     u = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
     s = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
     pos_mask = (1 << bits_pos) - 1
-    if bits_pos + 2 * bits_x + bits_y <= 32:
+    one_word = bits_pos + 2 * bits_x + bits_y <= 32
+    use_kernel = (
+        segment_backend in ("pallas", "pallas_interpret")
+        and one_word
+        and n > 0
+    )
+    gid = None
+    if one_word:
         # all four columns in ONE word -> one scatter+cumsum pass (the
         # 131k-row scatter dominates each pass; up to ~4K images fit)
         packed = (
@@ -164,7 +170,34 @@ def bin_gaussians(
             | (tile_min[:, 1] << bits_x)
             | tile_min[:, 0]
         )
-        p_s = u(seg(packed))
+        if use_kernel:
+            # All three passes (gid marks / packed word / depth bits)
+            # share boundaries ``cum``: one 3-column segment-broadcast
+            # kernel call. gid[j] = #{i: cum[i] <= j} is the d=1 column;
+            # the value columns ride their telescoping diffs (exact mod
+            # 2^32), base value added back outside.
+            from gstk_tpu.ops.segment_kernel import segment_broadcast
+
+            depth_bits = jax.lax.bitcast_convert_type(
+                depths.astype(jnp.float32), jnp.int32
+            )
+            zero = jnp.zeros((1,), jnp.int32)
+            d_pack = jnp.concatenate([packed[1:] - packed[:-1], zero])
+            d_depth = jnp.concatenate(
+                [depth_bits[1:] - depth_bits[:-1], zero]
+            )
+            gid, seg_pack, seg_depth = segment_broadcast(
+                cum,
+                [jnp.ones((n,), jnp.int32), d_pack, d_depth],
+                capacity,
+                interpret=(segment_backend == "pallas_interpret"),
+            )
+            p_s = u(packed[0] + seg_pack)
+            depth_s = jax.lax.bitcast_convert_type(
+                depth_bits[0] + seg_depth, jnp.float32
+            )
+        else:
+            p_s = u(seg(packed))
         cum_low = s((p_s >> (2 * bits_x + bits_y)) & jnp.uint32(pos_mask))
         bw_i = s((p_s >> (bits_x + bits_y)) & jnp.uint32((1 << bits_x) - 1))
         tminy_s = s((p_s >> bits_x) & jnp.uint32((1 << bits_y) - 1))
@@ -186,14 +219,25 @@ def bin_gaussians(
         tminy_s = seg(tile_min[:, 1])
         tminx_s = seg(tile_min[:, 0])
         pos = jnp.arange(capacity, dtype=jnp.int32) - cum_excl_s
-    depth_s = jax.lax.bitcast_convert_type(
-        seg(
-            jax.lax.bitcast_convert_type(
-                depths.astype(jnp.float32), jnp.int32
-            )
-        ),
-        jnp.float32,
-    )
+    if gid is None:
+        # Slot -> gaussian id via boundary marks + cumsum (gid of slot j =
+        # #gaussians whose cumulative count <= j). Avoids jnp.repeat, whose
+        # internals lower to ~7 ms 1-D gathers at 1M slots on TPU; slots
+        # past the true total get gid == n (the sentinel) for free.
+        marks = jnp.zeros((capacity + 1,), jnp.int32).at[cum].add(
+            1, mode="drop"
+        )
+        gid = _cumsum_1d(marks[:-1])
+    is_real = gid < n
+    if not use_kernel:
+        depth_s = jax.lax.bitcast_convert_type(
+            seg(
+                jax.lax.bitcast_convert_type(
+                    depths.astype(jnp.float32), jnp.int32
+                )
+            ),
+            jnp.float32,
+        )
     # div/mod by a *variable* divisor has no TPU vector lowering (XLA
     # emulates it ~serially; ~2.2 ms at 1M lanes in step traces). pos is a
     # within-bbox offset (< bbox area) and bw a tile-bbox width — both far

@@ -656,6 +656,12 @@ def _rasterize_band(
         tile_bounds,
         bw,
         config.isect_capacity,
+        # The segment-broadcast kernel follows the compositing backend:
+        # on TPU all three binning broadcast passes collapse into one
+        # MXU mask-matmul kernel call (ops/segment_kernel.py).
+        segment_backend=(
+            backend if backend in ("pallas", "pallas_interpret") else "xla"
+        ),
     )
     if backend in ("pallas", "pallas_interpret"):
         from gstk_tpu.ops import raster_pallas as rp

@@ -158,6 +158,13 @@ def export_offline_tsdf(args) -> None:
             method=mask_method, accumulations=accs,
             box=getattr(args, "mask_box", None),
         )
+        if getattr(args, "propagate_masks", False):
+            # DEVA-role temporal consolidation (reference
+            # mask_generater.py:24 video propagation): flow-carried
+            # forward/backward chains + per-pixel majority vote.
+            from gstk_tpu.exporter.mask_propagation import propagate_masks
+
+            masks = propagate_masks(imgs_u8, masks)
         depths = [d * m for d, m in zip(depths, masks)]
 
     depths = np.stack(depths)
@@ -249,6 +256,11 @@ def main(argv=None) -> None:
                    help="text prompt for grounded_sam masking")
     p.add_argument("--mask-box", type=float, nargs=4, default=None,
                    help="normalized x0 y0 x1 y1 for --mask-method box")
+    p.add_argument("--propagate-masks", action="store_true",
+                   help="temporally consolidate per-frame masks along the "
+                        "trajectory (optical-flow forward/backward chains "
+                        "+ majority vote — the DEVA role in the reference's "
+                        "DINO+SAM+DEVA chain)")
     common(p)
     p.add_argument("--voxel-size", type=float, default=0.01)
     p.add_argument("--volume-size", type=float, default=2.0)

@@ -13,48 +13,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_pallas_raster_fwd_bwd_on_tpu():
-    import jax.numpy as jnp
+    # The same guard bench.py runs before every timing loop: pallas-vs-jax
+    # image + grad parity on a small deterministic scene (exercises the
+    # bf16-split dot and segment-kernel precision contracts on hardware).
+    from gstk_tpu.utils.parity import check_pallas_parity
 
-    from tests._scenes import make_camera, make_gaussians
-    from gstk_tpu.ops.projection import project_gaussians
-    from gstk_tpu.ops.rasterize import RasterizeConfig, rasterize
-
-    rng = np.random.default_rng(0)
-    cam = make_camera(img_w=128, img_h=96)
-    means, scales, quats, colors, opacities = make_gaussians(rng, 2000)
-    proj = project_gaussians(
-        jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
-        jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
-        cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["img_h"], cam["img_w"],
-    )
-    results = {}
-    for backend in ("pallas", "jax"):
-        cfg = RasterizeConfig(
-            chunk_size=32, isect_capacity=1 << 15, backend=backend
-        )
-
-        def loss(xys, conics, cols, opac):
-            img, alpha = rasterize(
-                xys, proj.depths, proj.radii, conics, proj.num_tiles_hit,
-                cols, opac, img_height=96, img_width=128,
-                background=jnp.zeros(3), config=cfg,
-            )
-            return jnp.sum(img * 0.5) + jnp.sum(alpha), img
-
-        (val, img), grads = jax.jit(
-            jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True)
-        )(proj.xys, proj.conics, jnp.asarray(colors), jnp.asarray(opacities))
-        results[backend] = (float(val), np.asarray(img), grads)
-
-    v_p, img_p, g_p = results["pallas"]
-    v_j, img_j, g_j = results["jax"]
-    np.testing.assert_allclose(img_p, img_j, rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(v_p, v_j, rtol=1e-4)
-    for a, b in zip(g_p, g_j):
-        a, b = np.asarray(a), np.asarray(b)
-        np.testing.assert_allclose(
-            a, b, rtol=5e-3, atol=1e-3 * max(1.0, np.abs(b).max())
-        )
+    devs = check_pallas_parity()
+    assert devs["max_grad_rel_dev"] < 5e-3
 
 
 def test_train_step_on_tpu():
