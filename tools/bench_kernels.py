@@ -19,6 +19,32 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _device_kernel_ms(tdir, iters):
+    """Per-iteration device ms for the two kernels from the newest trace
+    in ``tdir`` (wall clock through the tunnel is untrustworthy)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(tdir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    agg = defaultdict(float)
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                nm = plane.event_metadata[ev.metadata_id].name
+                key = "fwd" if "composite_tiles_fwd" in nm else (
+                    "bwd" if "composite_tiles_bwd" in nm else None)
+                if key:
+                    agg[key] += ev.duration_ps / 1e9
+    return agg["fwd"] / iters, agg["bwd"] / iters
+
+
 def sweep(iters: int):
     """Fixed-vs-marginal kernel cost: time the kernels over (T tiles, C
     chunks/tile) combos with T*C held constant, fit time = T*X + T*C*Y.
@@ -70,35 +96,39 @@ def sweep(iters: int):
         bwd = lambda: rp.composite_tiles_bwd(
             attr_j, bins_j, packed, ct, tiles, 16, ch=ch)
         jax.block_until_ready(bwd())
+        # device truth from the profiler trace (wall clock through the
+        # tunnel mismeasures small programs — the round-2 "C=1 anomaly"
+        # was exactly this, see below)
+        tdir = f"/tmp/gstk_sweep_{t_tiles}_{c_per_tile}"
+        os.makedirs(tdir, exist_ok=True)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(attr_j, bins_j)
-        jax.block_until_ready(out)
-        f_ms = (time.perf_counter() - t0) / iters * 1e3
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            outb = bwd()
-        jax.block_until_ready(outb)
-        b_ms = (time.perf_counter() - t0) / iters * 1e3
+        with jax.profiler.trace(tdir):
+            outs = None
+            for _ in range(iters):
+                outs = (fwd(attr_j, bins_j), bwd())
+            jax.block_until_ready(outs)
+        wall = (time.perf_counter() - t0) / iters * 1e3
+        f_ms, b_ms = _device_kernel_ms(tdir, iters)
         acc = float(jnp.sum(jnp.abs(packed[:, 0:4, :])))
         print(f"T={t_tiles:5d} C={c_per_tile:3d}: fwd {f_ms:7.3f} ms "
-              f"bwd {b_ms:7.3f} ms   (|acc|={acc:.3e}, must be >0)")
+              f"bwd {b_ms:7.3f} ms   (fwd+bwd wall {wall:7.3f}; "
+              f"|acc|={acc:.3e}, must be >0)")
         results.append((t_tiles, c_per_tile, f_ms, b_ms))
 
-    # C=1 measures anomalously fast (~100x below any possible DMA+compute
-    # bound — suspected degenerate Mosaic lowering of the 1-trip chunk
-    # loop) and is excluded from the fit. Interpret-mode parity against a
-    # sequential-compositing reference confirms the single-chunk-per-tile
-    # case is numerically CORRECT (max err ~1e-4, same as C=2), so the
-    # anomaly is a timing artifact, not a masked correctness bug; a Mosaic
-    # scalar-core trace is still needed to explain the on-device number.
-    rows = [r for r in results if r[1] >= 2]
+    # All rows including C=1 enter the fit now that times are device
+    # truth. The round-2 "C=1 anomaly" (wall clock ~100x below any
+    # DMA+compute bound) was a measurement artifact of timing async
+    # dispatches through the tunneled runtime with wall clock; the
+    # profiler's per-op device durations are sane at every C (see
+    # docs/PERFORMANCE.md "C=1 anomaly resolved"). Interpret-mode parity
+    # separately confirmed C=1 outputs are numerically correct.
+    rows = results
     a = np.array([[t, t * c] for t, c, _, _ in rows], np.float64)
     for name, col in (("fwd", 2), ("bwd", 3)):
         y = np.array([r[col] for r in rows]) * 1e3  # us
         (x_fix, y_marg), *_ = np.linalg.lstsq(a, y, rcond=None)
         print(f"{name}: per-tile fixed {x_fix:.3f} us, "
-              f"per-chunk marginal {y_marg:.3f} us  (C>=2 rows)")
+              f"per-chunk marginal {y_marg:.3f} us  (all rows, device truth)")
 
 
 def main():
