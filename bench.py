@@ -202,7 +202,12 @@ def main():
         check_pallas_parity()  # raises on divergence -> no bench output
         parity = "ok"
 
-    iters = 20
+    # 60 iters: the tunneled runtime pipelines the async dispatches but the
+    # final block_until_ready pays one full ~35-40 ms RTT; at 20 iters that
+    # fixed cost inflated the per-step time by ~1.9 ms (device truth 29.9 ms
+    # vs 31.9 wall). Steady-state training runs thousands of steps, so the
+    # bench amortizes the sync the same way.
+    iters = int(os.environ.get("BENCH_ITERS", 60))
     # Pre-split keys: a per-iteration random.split adds a full host->device
     # dispatch round trip through the (tunneled) runtime, which dominated
     # the measurement (160 ms/step apparent vs 74 ms actual).

@@ -22,7 +22,16 @@ descriptions = {
     "gaussian-splatting": "Vanilla Gaussian Splatting model.",
     "co-gs": "Gaussian Splatting with depth / planar supervision.",
     "surface-gs": "Gaussian Splatting with fixed means on the surface.",
+    "sugar-gs": "SuGaR surface-aligned refinement (reserved; the "
+                "reference's pipelines/sugar_pipeline.py is an empty "
+                "placeholder — this slot mirrors it 1:1 and fails loudly).",
 }
+
+# Methods listed in the registry but not runnable: the reference ships
+# ``gs_toolkit/pipelines/sugar_pipeline.py`` as a ZERO-BYTE placeholder
+# (no config entry, no class); we mirror the slot so the method table is
+# 1:1 while refusing to pretend there is an implementation behind it.
+experimental_methods = ("sugar-gs",)
 
 
 def method_configs() -> Dict[str, TrainerConfig]:

@@ -261,10 +261,54 @@ def _keep(t_run, dead, a_eff, logm, valid):
     return a_k, t_prev, log_dec, dead_next
 
 
+def _attr_dma_helpers(attr_ref, chunk_vmem, sem, transposed: bool):
+    """Chunk DMA start/wait for either attribute layout.
+
+    Wide (entry-major): ``attr_ref`` is (cap_alloc, ATTR_W); a chunk is a
+    128-row sublane slice, transposed to attr-major on arrival by one MXU
+    contraction. Transposed (attr-major): ``attr_ref`` is (rows,
+    cap_alloc); a chunk is a 128-lane minor slice arriving attr-major
+    directly (no MXU transpose) — used above the capacity threshold where
+    the entry-major pack gather turns row-latency bound
+    (docs/PERFORMANCE.md, transposed-attr-table design)."""
+
+    def make_dma(b0):
+        def start_dma(i, slot):
+            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
+            src = (
+                attr_ref.at[:, pl.ds(off, CHUNK)]
+                if transposed
+                else attr_ref.at[pl.ds(off, CHUNK)]
+            )
+            pltpu.make_async_copy(src, chunk_vmem.at[slot], sem.at[slot]).start()
+
+        def wait_dma(i, slot):
+            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
+            src = (
+                attr_ref.at[:, pl.ds(off, CHUNK)]
+                if transposed
+                else attr_ref.at[pl.ds(off, CHUNK)]
+            )
+            pltpu.make_async_copy(src, chunk_vmem.at[slot], sem.at[slot]).wait()
+
+        return start_dma, wait_dma
+
+    def next_tile_prefetch(noff):
+        src = (
+            attr_ref.at[:, pl.ds(noff, CHUNK)]
+            if transposed
+            else attr_ref.at[pl.ds(noff, CHUNK)]
+        )
+        pltpu.make_async_copy(src, chunk_vmem.at[0], sem.at[0]).start()
+
+    return make_dma, next_tile_prefetch
+
+
 def _fwd_kernel(
     bins_ref, attr_ref, out_ref, chunk_vmem, sem,
     *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
     tiles_per_call: int = 1, persistent_prefetch: bool = True,
+    attr_transposed: bool = False,
 ):
     base = pl.program_id(0) * tiles_per_call
     basis, _, _ = _pixel_basis(block_width)
@@ -273,24 +317,11 @@ def _fwd_kernel(
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    def make_dma(b0):
-        # Double-buffered chunk streaming: start chunk i+1's DMA before
-        # compositing chunk i, so HBM latency hides behind the alpha math.
-        def start_dma(i, slot):
-            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-            pltpu.make_async_copy(
-                attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot],
-                sem.at[slot],
-            ).start()
-
-        def wait_dma(i, slot):
-            off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-            pltpu.make_async_copy(
-                attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot],
-                sem.at[slot],
-            ).wait()
-
-        return start_dma, wait_dma
+    # Double-buffered chunk streaming: start chunk i+1's DMA before
+    # compositing chunk i, so HBM latency hides behind the alpha math.
+    make_dma, next_tile_prefetch = _attr_dma_helpers(
+        attr_ref, chunk_vmem, sem, attr_transposed
+    )
 
     def process_tile(t, sub):
         start = bins_ref[2 * t]
@@ -335,7 +366,11 @@ def _fwd_kernel(
                 start_dma(i + 1, 1 - slot)
             wait_dma(i, slot)
             off = (b0 + i) * CHUNK
-            chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
+            chunk = (
+                chunk_vmem[slot]
+                if attr_transposed
+                else _mxu_transpose(chunk_vmem[slot], rows)
+            )  # (rows, K)
             a_eff, logm, valid, _ = _chunk_alpha(
                 chunk, basis, ox, oy, off, start, end
             )
@@ -370,39 +405,58 @@ def _fwd_kernel(
             @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
             def _():
                 noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
-                pltpu.make_async_copy(
-                    attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0],
-                    sem.at[0],
-                ).start()
-        out_ref[sub, ch : ch + 1, :] = t_final.reshape(1, p)
+                next_tile_prefetch(noff)
+        return t_final
 
     # Multiple tiles per invocation amortize the per-grid-cell overhead
     # (~0.45 us/cell measured); tiles_per_call always divides num_tiles
     # (chosen by composite_tiles_fwd).
+    t_finals = [
+        process_tile(base + sub, sub) for sub in range(tiles_per_call)
+    ]
+    # ONE (P, tpc) -> (tpc, P) relayout per grid cell instead of a
+    # (P, 1) -> (1, P) relayout per tile: the cross-sublane shuffle costs
+    # ~0.31 us per OP regardless of width (tools/ablate_fwd.py device
+    # ablation) — batching it across the cell's sub-tiles removes ~40% of
+    # the per-tile fixed cost.
+    tf = (
+        t_finals[0]
+        if tiles_per_call == 1
+        else jnp.concatenate(t_finals, axis=1)
+    )  # (P, tpc)
+    tft = tf.T  # (tpc, P)
     for sub in range(tiles_per_call):
-        process_tile(base + sub, sub)
+        out_ref[sub, ch : ch + 1, :] = tft[sub : sub + 1, :]
 
 
 @functools.partial(
     jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
 )
 def composite_tiles_fwd(
-    s_attr: jax.Array,  # (Cp, ATTR_W) entry-major attributes
+    s_attr: jax.Array,  # (Cp, ATTR_W) entry-major OR (rows, Cp) attr-major
     tile_bins: jax.Array,  # (T, 2) int32, CHUNK-aligned starts
     tile_bounds: Tuple[int, int],
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
 ):
-    """Returns (T, out_rows(ch), P) packed [colors rows, final_t row]."""
+    """Returns (T, out_rows(ch), P) packed [colors rows, final_t row].
+
+    The attribute layout is inferred from ``s_attr``'s shape: entry-major
+    (Cp, ATTR_W) rows, or attr-major (attr_rows(ch), Cp) — the transposed
+    table used above the pack-gather capacity threshold."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     orows = out_rows(ch)
     tpc = _tiles_per_call(num_tiles)
+    transposed = s_attr.shape[0] == attr_rows(ch) and s_attr.shape[1] > ATTR_W
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         num_tiles=num_tiles, tiles_per_call=tpc,
-        persistent_prefetch=not interpret,
+        persistent_prefetch=not interpret, attr_transposed=transposed,
+    )
+    chunk_shape = (
+        (2, attr_rows(ch), CHUNK) if transposed else (2, CHUNK, ATTR_W)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -412,7 +466,7 @@ def composite_tiles_fwd(
             (tpc, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
+            pltpu.VMEM(chunk_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -431,6 +485,7 @@ def _bwd_kernel(
     chunk_vmem, gtile_vmem, sem, wsem,
     *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
     tiles_per_call: int = 1, persistent_prefetch: bool = True,
+    attr_transposed: bool = False,
 ):
     """Backward sweep: recompute chunks front-to-back, write
     per-intersection gradients attr-major as (rows, CHUNK) blocks.
@@ -455,14 +510,29 @@ def _bwd_kernel(
     p = block_width * block_width
     rows = attr_rows(ch)
     inv_floor = 1.0 - _ALPHA_CLAMP
+    # Per-pixel scalars g.acc and g_T*T for ALL sub-tiles through ONE
+    # (2*tpc, P) -> (P, 2*tpc) relayout: the cross-sublane shuffle costs
+    # ~0.31 us per OP regardless of width (tools/ablate_fwd.py), so the
+    # former two per-tile (1,P)->(P,1) reshapes dominated the bwd per-tile
+    # fixed cost; per-sub (P,1) lane slices of the batched result are free.
+    prods = []
+    for sub in range(tiles_per_call):
+        g_img = ct_ref[sub, 0:ch, :]
+        acc_fg = fwd_ref[sub, 0:ch, :]
+        prods.append(jnp.sum(g_img * acc_fg, axis=0, keepdims=True))
+        prods.append(ct_ref[sub, ch : ch + 1, :] * fwd_ref[sub, ch : ch + 1, :])
+    ppt = jnp.concatenate(prods, axis=0).T  # (P, 2*tpc)
     for sub in range(tiles_per_call):
         _bwd_tile(
             base + sub, sub,
             bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
             chunk_vmem, gtile_vmem, sem, wsem,
             basis, p, rows, inv_floor,
+            ppt[:, 2 * sub : 2 * sub + 1],
+            ppt[:, 2 * sub + 1 : 2 * sub + 2],
             tiles_x=tiles_x, block_width=block_width, ch=ch,
             num_tiles=num_tiles, persistent_prefetch=persistent_prefetch,
+            attr_transposed=attr_transposed,
         )
 
 
@@ -471,19 +541,15 @@ def _bwd_tile(
     bins_ref, attr_ref, fwd_ref, ct_ref, gout_ref, side_ref,
     chunk_vmem, gtile_vmem, sem, wsem,
     basis, p, rows, inv_floor,
+    g_dot_acc, gt_tf,  # (P, 1) per-pixel scalars, batched by the caller
     *, tiles_x, block_width, ch, num_tiles, persistent_prefetch,
+    attr_transposed=False,
 ):
     start = bins_ref[2 * t]
     end = bins_ref[2 * t + 1]
     ox, oy = _tile_origin(t, tiles_x, block_width)
 
     g_img = ct_ref[sub, 0:ch, :]  # (ch, P)
-    g_final_t_row = ct_ref[sub, ch : ch + 1, :]  # (1, P)
-    acc_fg = fwd_ref[sub, 0:ch, :]
-    final_t_row = fwd_ref[sub, ch : ch + 1, :]
-    # per-pixel scalars in (P, 1) layout
-    g_dot_acc = jnp.sum(g_img * acc_fg, axis=0, keepdims=True).reshape(p, 1)
-    gt_tf = (g_final_t_row * final_t_row).reshape(p, 1)
 
     b0 = start // CHUNK
     n_chunks = jnp.where(
@@ -499,17 +565,10 @@ def _bwd_tile(
     # Double-buffered read + write streams: chunk i+1's read overlaps chunk
     # i's math, and each gradient write drains while the next two chunks
     # compute (waited only when its buffer is about to be reused).
-    def start_read(i, slot):
-        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
-        ).start()
-
-    def wait_read(i, slot):
-        off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            attr_ref.at[pl.ds(off, CHUNK)], chunk_vmem.at[slot], sem.at[slot]
-        ).wait()
+    make_dma, next_tile_prefetch = _attr_dma_helpers(
+        attr_ref, chunk_vmem, sem, attr_transposed
+    )
+    start_read, wait_read = make_dma(b0)
 
     def start_write(i, slot):
         @pl.when(_in_place(i))
@@ -565,7 +624,11 @@ def _bwd_tile(
             start_read(i + 1, 1 - slot)
         wait_read(i, slot)
         off = (b0 + i) * CHUNK
-        chunk = _mxu_transpose(chunk_vmem[slot], rows)  # (rows, K)
+        chunk = (
+            chunk_vmem[slot]
+            if attr_transposed
+            else _mxu_transpose(chunk_vmem[slot], rows)
+        )  # (rows, K)
         a_eff, logm, valid, extras = _chunk_alpha(
             chunk, basis, ox, oy, off, start, end
         )
@@ -579,7 +642,8 @@ def _bwd_tile(
             g_img, colors, (((0,), (0,)), ((), ()))
         )  # (P, K)
         # threshold-free (pure gradient magnitude): 2 passes suffice
-        g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col, terms=2)
+        wg_cs = _cumsum_lanes(w * g_dot_col, terms=2)
+        g_prefix_incl = g_prefix + wg_cs
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
         v_alpha = (
             t_prev * g_dot_col
@@ -630,7 +694,9 @@ def _bwd_tile(
         )  # (rows, K)
         start_write(i, slot)
 
-        g_prefix = g_prefix + jnp.sum(w * g_dot_col, axis=1, keepdims=True)
+        # chunk total = last lane of the inclusive cumsum (a cheap lane
+        # slice) — the former separate multiply+reduce recomputed it
+        g_prefix = g_prefix_incl[:, CHUNK - 1 : CHUNK]
         return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
 
     t0 = jnp.ones((p, 1), jnp.float32)
@@ -657,9 +723,7 @@ def _bwd_tile(
         @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
         def _():
             noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
-            pltpu.make_async_copy(
-                attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0], sem.at[0]
-            ).start()
+            next_tile_prefetch(noff)
 
     @pl.when(i_done >= 1)
     def _():
@@ -698,14 +762,15 @@ def composite_tiles_bwd(
     scatter-add (see rasterize._make_composite_pallas)."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
-    cp = s_attr.shape[0]
-    orows = fwd_packed.shape[1]
     rows = attr_rows(ch)
+    transposed = s_attr.shape[0] == rows and s_attr.shape[1] > ATTR_W
+    cp = s_attr.shape[1] if transposed else s_attr.shape[0]
+    orows = fwd_packed.shape[1]
     tpc = _tiles_per_call(num_tiles)
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         num_tiles=num_tiles, tiles_per_call=tpc,
-        persistent_prefetch=not interpret,
+        persistent_prefetch=not interpret, attr_transposed=transposed,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -728,7 +793,10 @@ def composite_tiles_bwd(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, ATTR_W), jnp.float32),
+            pltpu.VMEM(
+                (2, rows, CHUNK) if transposed else (2, CHUNK, ATTR_W),
+                jnp.float32,
+            ),
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -69,6 +69,15 @@ class RasterizeConfig:
     # scene splits into bands instead of growing one giant sort. 0 = auto
     # (one band per ~640k pixels). Gradients sum across bands by linearity.
     bands: int = 1
+    # Attribute table layout for the Pallas path. "wide": entry-major
+    # (cap, 128) rows — the pack gather is bandwidth-bound while the
+    # per-Gaussian table stays cache-resident. "transposed": attr-major
+    # (attr_rows, cap) — the pack gather is a column gather at the fixed
+    # ~6.5 ns/row rate but the table build is ~free and the kernels skip
+    # the per-chunk arrival transpose; wins once the per-Gaussian table
+    # falls out of cache (docs/PERFORMANCE.md). "auto" switches on the
+    # Gaussian count at trace time.
+    attr_layout: str = "auto"
 
 
 def _resolve_backend(config: RasterizeConfig) -> str:
@@ -300,7 +309,8 @@ from gstk_tpu.ops.binning import _segment_constant  # noqa: E402 (shared)
 
 
 def _make_composite_pallas(
-    tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool
+    tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool,
+    attr_layout: str = "auto",
 ):
     """Pallas-kernel-backed compositing with the same custom-VJP contract as
     the pure-JAX path.
@@ -347,8 +357,42 @@ def _make_composite_pallas(
         )
         return base[gid_ext]
 
+    def pack_sorted_t(xys, conics, colors, opacities, sorted_gids):
+        """Transposed (attr_rows, cap + CHUNK) attr-major table: the build
+        is row-stacks of already-column-contiguous projection outputs
+        (~free vs the 128-lane concat's full-table write) and the kernels
+        read (rows, 128) lane slices with NO arrival transpose. The pack
+        gather becomes a column gather at the fixed ~6.5 ns/row rate —
+        a win once the per-Gaussian wide table falls out of cache
+        (large N); see RasterizeConfig.attr_layout."""
+        n = xys.shape[0]
+        rows = rp.attr_rows(ch)
+        comps = jnp.concatenate(
+            [
+                xys.T, conics.T, opacities[None, :], colors.T,
+                jnp.zeros((rows - used, n), jnp.float32),
+            ],
+            axis=0,
+        )  # (rows, N)
+        base_t = jnp.concatenate(
+            [comps, jnp.zeros((rows, 1), jnp.float32)], axis=1
+        )  # sentinel column
+        gid_ext = jnp.concatenate(
+            [sorted_gids, jnp.full((rp.CHUNK,), n, jnp.int32)]
+        )
+        return base_t[:, gid_ext]
+
     def _forward(xys, conics, colors, opacities, sorted_gids, tile_bins):
-        attr = pack_sorted(xys, conics, colors, opacities, sorted_gids)
+        layout = attr_layout
+        if layout == "auto":
+            # The wide pack gather's per-Gaussian table (N, 128) stays
+            # cache-resident (bandwidth-bound gather) up to a few hundred
+            # k Gaussians; past that it turns row-latency-bound and the
+            # transposed layout wins (hardware numbers in
+            # docs/PERFORMANCE.md).
+            layout = "transposed" if xys.shape[0] >= 400_000 else "wide"
+        pack = pack_sorted_t if layout == "transposed" else pack_sorted
+        attr = pack(xys, conics, colors, opacities, sorted_gids)
         packed = rp.composite_tiles_fwd(
             attr, tile_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret,
@@ -671,6 +715,7 @@ def _rasterize_band(
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
+            attr_layout=config.attr_layout,
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,

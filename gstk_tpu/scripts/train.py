@@ -13,12 +13,26 @@ import dataclasses
 from pathlib import Path
 
 from gstk_tpu.configs.cli import parse_cli
-from gstk_tpu.configs.methods import method_configs
+from gstk_tpu.configs.methods import experimental_methods, method_configs
 from gstk_tpu.configs.serialize import save_config
 from gstk_tpu.train.trainer import Trainer
 
 
 def main(argv=None) -> None:
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    if argv and argv[0] in experimental_methods:
+        # 1:1 with the reference's method table: sugar_pipeline.py exists
+        # there as a zero-byte placeholder (no config, no class). The slot
+        # is reserved here and refuses to run rather than silently
+        # training a different model.
+        raise SystemExit(
+            f"method '{argv[0]}' is a reserved slot: the reference ships "
+            "pipelines/sugar_pipeline.py as an empty placeholder with no "
+            "implementation; use surface-gs for surface-aligned refinement."
+        )
     method, config = parse_cli(
         "Train a TPU-native Gaussian Splatting model", method_configs(), argv
     )

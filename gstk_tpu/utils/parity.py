@@ -17,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def check_pallas_parity(rtol_img=1e-3, atol_img=1e-4, rtol_grad=5e-3):
+def check_pallas_parity(rtol_img=1e-3, atol_img=1e-4, rtol_grad=5e-3,
+                        attr_layout="auto"):
     """Render + differentiate a small deterministic scene through both
     backends and assert closeness. Raises AssertionError on divergence.
 
@@ -71,7 +72,8 @@ def check_pallas_parity(rtol_img=1e-3, atol_img=1e-4, rtol_grad=5e-3):
     results = {}
     for backend in ("pallas", "jax"):
         cfg = RasterizeConfig(
-            chunk_size=32, isect_capacity=1 << 15, backend=backend
+            chunk_size=32, isect_capacity=1 << 15, backend=backend,
+            attr_layout=attr_layout,
         )
 
         def loss(xys, conics, cols, opac):

@@ -106,3 +106,50 @@ def test_pad_tile_ranges_invariants(rng):
             new_gids[bins[t, 0] : bins[t, 1]],
             old_gids[old_bins[t, 0] : old_bins[t, 1]],
         )
+
+
+def test_transposed_attr_layout_parity(rng):
+    """attr_layout='transposed' (the large-N attr-major table,
+    RasterizeConfig.attr_layout) must match 'wide' exactly in image and
+    gradients through the full custom-VJP path (interpret mode)."""
+    from gstk_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    cam = make_camera(img_w=64, img_h=48)
+    means, scales, quats, colors, opacities = make_gaussians(rng, 300)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), 1.0, jnp.asarray(quats),
+        jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["img_h"], cam["img_w"],
+    )
+    results = {}
+    for layout in ("wide", "transposed"):
+        cfg = RasterizeConfig(
+            isect_capacity=1 << 13, backend="pallas_interpret",
+            attr_layout=layout,
+        )
+
+        def loss(xys, conics, cols, opac):
+            img, alpha = rasterize(
+                xys, proj.depths, proj.radii, conics, proj.num_tiles_hit,
+                cols, opac, img_height=48, img_width=64,
+                background=jnp.zeros(3), config=cfg,
+            )
+            return jnp.sum(img * 0.7) + jnp.sum(alpha * 0.3), img
+
+        (val, img), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(proj.xys, proj.conics, jnp.asarray(colors), jnp.asarray(opacities))
+        results[layout] = (float(val), np.asarray(img), grads)
+
+    v_w, img_w_, g_w = results["wide"]
+    v_t, img_t, g_t = results["transposed"]
+    # identical math modulo the wide path's in-kernel arrival transpose
+    # (a ~2^-21 3-term bf16 MXU reconstruction; the transposed layout is
+    # exact f32) -> near-float-equality tolerances
+    assert abs(v_w - v_t) <= 1e-4 * max(1.0, abs(v_w))
+    np.testing.assert_allclose(img_t, img_w_, rtol=1e-4, atol=1e-5)
+    for a, b in zip(g_t, g_w):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3,
+            atol=1e-4 * max(1.0, float(np.abs(np.asarray(b)).max())),
+        )
