@@ -113,11 +113,12 @@ def main():
     # tuned deployment pads 100k only to alignment + small headroom. The
     # binning segment scatters, projection, SH and Adam all scale with it.
     capacity = int(os.environ.get("BENCH_CAP", 104 * 1024))
-    # 1<<21 trips a TPU backend InvalidArgument via the axon tunnel and the
-    # lax.sort cliff; tight tile culling (projection.tight_extents) puts
-    # this deterministic scene at ~742k intersections, so a tuned static
+    # Tight tile culling (projection.tight_extents) puts this
+    # deterministic scene at ~742k intersections, so a tuned static
     # deployment picks the snuggest aligned bucket: 3*2^18 = 786432 (~6%
     # headroom; the warmup step's num_intersects is asserted below).
+    # (Sorts now scale smoothly through 2^21 — tools/bench_sort.py — but
+    # a snug buffer keeps every cap-proportional op small.)
     isect_capacity = int(os.environ.get("BENCH_ISECT", 3 << 18))
 
     rng = np.random.default_rng(0)

@@ -579,12 +579,17 @@ class Trainer:
                 )
             )
         # num_intersects is the per-band max; grow the static buffer with
-        # headroom, but never past the 2^20 sort ceiling
-        # (docs/PERFORMANCE.md: lax.sort falls off a cliff at 2^21) —
-        # beyond it, split the image into more bands instead.
+        # headroom up to 2^21, then split into bands. Round-3 device-truth
+        # measurement (tools/bench_sort.py, docs/PERFORMANCE.md): the
+        # 4-operand binning sort scales smoothly through 2^21 (6.6 ms,
+        # 1.17x the 2^20 per-element cost — the round-2 "90 ms cliff" was
+        # a wall-clock artifact), so one 2^21 band beats two 2^20 bands
+        # (which duplicate per-band fixed work). Past 2^21 the capacity-
+        # proportional buffers (attr table, gradient blocks) and the
+        # 3.7 ns/elem sort make bands the better trade.
         n_isect = int(metrics.get("num_intersects", 0))
         if n_isect > 0.9 * self.raster_cfg.isect_capacity:
-            max_cap = 1 << 20
+            max_cap = 1 << 21
             # 3-bit-mantissa buckets (m * 2^k, m in 4..7): tight culling
             # (projection.tight_extents) makes real counts much smaller
             # than pow2 steps assumed; finer buckets keep every cap-sized

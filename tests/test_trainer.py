@@ -135,22 +135,23 @@ def test_isect_growth_switches_to_bands(tmp_path):
     assert tr.raster_cfg.isect_capacity <= 1 << 13
     assert tr.raster_cfg.isect_capacity % 1024 == 0
     assert tr.raster_cfg.bands == 1
-    # at the ceiling: bands grow instead
+    # at the ceiling (2^21 since the round-3 sort measurement —
+    # tools/bench_sort.py showed no 2^21 cliff): bands grow instead
     tr.raster_cfg = dataclasses.replace(
-        tr.raster_cfg, isect_capacity=1 << 20
+        tr.raster_cfg, isect_capacity=1 << 21
     )
-    tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 20))})
-    assert tr.raster_cfg.isect_capacity == 1 << 20
+    tr._maybe_grow({"num_alive": 0, "num_intersects": int(0.95 * (1 << 21))})
+    assert tr.raster_cfg.isect_capacity == 1 << 21
     assert tr.raster_cfg.bands == 2
     # borderline per-band load keeps both bands (hysteresis: shrink only
     # when a merged band would sit well under the growth trigger)
     tr._maybe_grow(
-        {"num_alive": 0, "num_intersects": int(0.4 * (1 << 20))}
+        {"num_alive": 0, "num_intersects": int(0.4 * (1 << 21))}
     )
     assert tr.raster_cfg.bands == 2
     # once the post-reset transient passes, bands merge back
     tr._maybe_grow(
-        {"num_alive": 0, "num_intersects": int(0.2 * (1 << 20))}
+        {"num_alive": 0, "num_intersects": int(0.2 * (1 << 21))}
     )
     assert tr.raster_cfg.bands == 1
     # gaussian capacity saturates at max_capacity without resizing

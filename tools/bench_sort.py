@@ -31,6 +31,7 @@ def device_ms(tdir, iters, match="sort"):
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
     total = 0.0
+    by_op = defaultdict(float)
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue
@@ -39,9 +40,12 @@ def device_ms(tdir, iters, match="sort"):
                 continue
             for ev in line.events:
                 nm = plane.event_metadata[ev.metadata_id].name
-                if match in nm:
-                    total += ev.duration_ps / 1e9
-    return total / iters
+                by_op[nm] += ev.duration_ps / 1e9
+                total += ev.duration_ps / 1e9
+    if os.environ.get("SORT_DEBUG"):
+        for nm, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:6]:
+            print(f"    {ms / iters:8.3f} ms  {nm[:90]}", file=sys.stderr)
+    return total / iters  # whole-program device time (the sort dominates)
 
 
 def main():
@@ -63,17 +67,23 @@ def main():
         pay1 = jnp.asarray(np.arange(n, dtype=np.int32))
         pay2 = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
 
+        # inputs must be jit ARGUMENTS — closed-over arrays are baked in
+        # as constants and XLA constant-folds the whole sort at compile
+        # time (the first version of this tool measured exactly that)
         cases = {
-            "1-op i32 key": lambda: jax.lax.sort((keys_i,), num_keys=1),
-            "2-op i32 key + payload": lambda: jax.lax.sort(
-                (keys_i, pay1), num_keys=1),
-            "4-op (tile,depth) 2 keys": lambda: jax.lax.sort(
-                (keys_i, keys_f, pay1, pay2), num_keys=2),
+            "1-op i32 key": (
+                lambda ki, kf, p1, p2: jax.lax.sort((ki,), num_keys=1)),
+            "2-op i32 key + payload": (
+                lambda ki, kf, p1, p2: jax.lax.sort((ki, p1), num_keys=1)),
+            "4-op (tile,depth) 2 keys": (
+                lambda ki, kf, p1, p2: jax.lax.sort(
+                    (ki, kf, p1, p2), num_keys=2)),
         }
+        args = (keys_i, keys_f, pay1, pay2)
         for name, fn in cases.items():
             jfn = jax.jit(fn)
             try:
-                out = jax.block_until_ready(jfn())
+                out = jax.block_until_ready(jfn(*args))
             except Exception as e:
                 print(f"{name:34s} {n:9d}  FAILED: {str(e)[:60]}")
                 continue
@@ -82,7 +92,7 @@ def main():
             t0 = time.perf_counter()
             with jax.profiler.trace(tdir):
                 for _ in range(iters):
-                    out = jfn()
+                    out = jfn(*args)
                 jax.block_until_ready(out)
             wall = (time.perf_counter() - t0) / iters * 1e3
             dev = device_ms(tdir, iters)
