@@ -214,3 +214,137 @@ def segment_broadcast(
         interpret=interpret,
     )(lo_chunk, nch, pref_flat, table)
     return [out[c, :length] for c in range(n_cols)]
+
+
+# ---------------------------------------------------------------------------
+# Segment sums at sorted boundaries (the VJP per-Gaussian reduction)
+# ---------------------------------------------------------------------------
+
+SUM_JC = 512  # value columns per DMA chunk
+SUM_G = 1024  # output gaussians per grid block
+
+
+def _segsum_kernel(
+    j0_ref, nch_ref,  # scalar prefetch: first chunk index / chunk count
+    bounds_ref,  # (2, SUM_G) f32 VMEM block: rows [lo, hi)
+    vals_ref,  # (rows, Np) f32 in ANY/HBM
+    out_ref,  # (rows, SUM_G) f32 VMEM block
+    dbuf, sem,  # scratch: (2, rows, SUM_JC) f32 + 2 DMA semaphores
+    *, rows: int, terms: int,
+):
+    from gstk_tpu.ops.raster_pallas import _mxu_dot
+
+    blk = pl.program_id(0)
+    j0 = j0_ref[blk]
+    nc = nch_ref[blk]
+
+    def start_dma(i, slot):
+        off = pl.multiple_of((j0 + i) * SUM_JC, SUM_JC)
+        pltpu.make_async_copy(
+            vals_ref.at[:, pl.ds(off, SUM_JC)], dbuf.at[slot], sem.at[slot]
+        ).start()
+
+    def wait_dma(i, slot):
+        off = pl.multiple_of((j0 + i) * SUM_JC, SUM_JC)
+        pltpu.make_async_copy(
+            vals_ref.at[:, pl.ds(off, SUM_JC)], dbuf.at[slot], sem.at[slot]
+        ).wait()
+
+    @pl.when(nc > 0)
+    def _():
+        start_dma(0, 0)
+
+    lo_r = bounds_ref[0:1, :]  # (1, G)
+    hi_r = bounds_ref[1:2, :]
+
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nc)
+        def _():
+            start_dma(i + 1, 1 - slot)
+
+        wait_dma(i, slot)
+        d = dbuf[slot]  # (rows, JC)
+        # j index of each value column, f32-exact (j < 2^24)
+        j_col = (
+            (j0 + i) * SUM_JC
+            + jax.lax.broadcasted_iota(jnp.int32, (SUM_JC, 1), 0)
+        ).astype(jnp.float32)
+        mask = (
+            (j_col >= lo_r) & (j_col < hi_r)
+        ).astype(jnp.float32)  # (JC, G)
+        # direct masked sum on the MXU: no prefix subtraction, so no
+        # cancellation between a tiny segment and a huge global prefix
+        # (the failure mode the two-level prefix design mitigated).
+        return acc + _mxu_dot(
+            d, mask, (((1,), (0,)), ((), ())), b_exact=True, terms=terms
+        )
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, nc, body, jnp.zeros((rows, SUM_G), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "terms"))
+def segment_sum_sorted(
+    vals_t: jax.Array,  # (rows, Np) f32, rows % 8 == 0
+    hi: jax.Array,  # (N,) int32 nondecreasing segment ends, <= Np
+    interpret: bool = False,
+    terms: int = 3,
+) -> jax.Array:
+    """``out[c, g] = sum_{hi[g-1] <= j < hi[g]} vals_t[c, j]`` (hi[-1]=0).
+
+    The per-Gaussian gradient reduction: segments are contiguous in
+    expansion order and ``hi`` (a clipped cumsum) is monotone, so each
+    1024-gaussian output block touches a contiguous value range — a
+    per-block masked MXU contraction replaces the former two-level
+    prefix cumsum + three row-rate gathers (~9.4 ms at 1M capacity).
+    ``terms``-way bf16 splitting of the values (the 0/1 mask is exact)
+    gives ~f32 sums; each segment is summed DIRECTLY, avoiding the
+    prefix-difference cancellation of the cumsum formulation.
+    """
+    rows, npv = vals_t.shape
+    n = hi.shape[0]
+    assert rows % 8 == 0
+    nblocks = -(-n // SUM_G)
+    npad_n = nblocks * SUM_G
+    # pad value columns to the chunk width; padded j are masked out by
+    # hi <= npv, and real (finite) values times a 0 mask are exactly 0
+    npv_pad = -(-npv // SUM_JC) * SUM_JC
+    if npv_pad != npv:
+        vals_t = jnp.pad(vals_t, ((0, 0), (0, npv_pad - npv)))
+    hi_c = jnp.minimum(hi, npv).astype(jnp.int32)
+    hi_pad = jnp.pad(hi_c, (0, npad_n - n), mode="edge")
+    lo_pad = jnp.concatenate([jnp.zeros((1,), jnp.int32), hi_pad[:-1]])
+    bounds = jnp.stack([lo_pad, hi_pad]).astype(jnp.float32)  # (2, npad_n)
+
+    blk = jnp.arange(nblocks, dtype=jnp.int32)
+    blk_lo = lo_pad[blk * SUM_G]
+    blk_hi = hi_pad[blk * SUM_G + (SUM_G - 1)]
+    j0 = blk_lo // SUM_JC
+    nch = jnp.maximum(0, -(-(blk_hi - j0 * SUM_JC) // SUM_JC))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((2, SUM_G), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, SUM_G), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, SUM_JC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, rows=rows, terms=terms),
+        out_shape=jax.ShapeDtypeStruct((rows, npad_n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(j0, nch, bounds, vals_t)
+    return out[:, :n]

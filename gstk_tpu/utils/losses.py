@@ -44,13 +44,17 @@ def _band_matrix(n: int, win: np.ndarray) -> np.ndarray:
 
 def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
     """Depthwise separable valid-mode filtering via banded matmuls.
-    img (H, W, C)."""
+    img (H, W, C).
+
+    Precision HIGH (3-pass bf16 split, ~2^-21) not HIGHEST (6-pass):
+    images live in [0, 1] and SSIM's constants (c1=1e-4) sit far above
+    the split residual, so the extra 3 passes bought nothing but time."""
     h, w = img.shape[0], img.shape[1]
     bw = jnp.asarray(_band_matrix(w, win))
     bh = jnp.asarray(_band_matrix(h, win))
-    x = jnp.einsum("hwc,wv->hvc", img, bw, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("hwc,wv->hvc", img, bw, precision=jax.lax.Precision.HIGH)
     return jnp.einsum(
-        "hvc,hu->uvc", x, bh, precision=jax.lax.Precision.HIGHEST
+        "hvc,hu->uvc", x, bh, precision=jax.lax.Precision.HIGH
     )
 
 
@@ -68,14 +72,22 @@ def ssim(
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
-    mu_x = _filter2d_separable(pred, win)
-    mu_y = _filter2d_separable(gt, win)
+    # ONE stacked 5C-channel filter pass instead of five C-channel passes:
+    # same MACs, but two large banded matmuls ride the MXU far better than
+    # thirty small fusions (the per-fusion launch/relayout overhead was
+    # most of the measured SSIM cost at 800x800).
+    c = pred.shape[-1]
+    stacked = jnp.concatenate(
+        [pred, gt, pred * pred, gt * gt, pred * gt], axis=-1
+    )
+    f = _filter2d_separable(stacked, win)
+    mu_x, mu_y = f[..., 0:c], f[..., c : 2 * c]
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_xx = _filter2d_separable(pred * pred, win) - mu_xx
-    sigma_yy = _filter2d_separable(gt * gt, win) - mu_yy
-    sigma_xy = _filter2d_separable(pred * gt, win) - mu_xy
+    sigma_xx = f[..., 2 * c : 3 * c] - mu_xx
+    sigma_yy = f[..., 3 * c : 4 * c] - mu_yy
+    sigma_xy = f[..., 4 * c : 5 * c] - mu_xy
 
     cs = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
     ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs

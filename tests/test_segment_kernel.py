@@ -104,3 +104,39 @@ def test_bin_gaussians_kernel_backend_parity_overflow(rng):
             np.asarray(getattr(ref, name)),
             err_msg=name,
         )
+
+
+def test_segment_sum_sorted_matches_numpy(rng):
+    from gstk_tpu.ops.segment_kernel import segment_sum_sorted
+
+    rows, npv, n = 16, 3000, 2500
+    vals = rng.normal(size=(rows, npv)).astype(np.float32)
+    counts = rng.integers(0, 4, n)
+    hi = np.minimum(np.cumsum(counts), npv).astype(np.int32)
+    out = segment_sum_sorted(
+        jnp.asarray(vals), jnp.asarray(hi), interpret=True
+    )
+    lo = np.concatenate([[0], hi[:-1]])
+    ref = np.stack(
+        [vals[:, l:h].sum(axis=1) for l, h in zip(lo, hi)], axis=1
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_sorted_empty_and_clipped(rng):
+    from gstk_tpu.ops.segment_kernel import segment_sum_sorted
+
+    rows, npv, n = 8, 1024, 600
+    vals = rng.normal(size=(rows, npv)).astype(np.float32)
+    # first 100 segments empty; segment 100 covers everything (its end
+    # overshoots npv and must clip); the rest are empty again
+    hi = np.zeros(n, np.int32)
+    hi[100:] = npv + 50
+    out = np.asarray(segment_sum_sorted(
+        jnp.asarray(vals), jnp.asarray(hi), interpret=True
+    ))
+    assert np.all(out[:, :100] == 0)
+    np.testing.assert_allclose(
+        out[:, 100], vals.sum(axis=1), rtol=1e-5, atol=1e-4
+    )
+    assert np.all(out[:, 101:] == 0)
