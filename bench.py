@@ -197,10 +197,12 @@ def main():
     if jax.default_backend() == "tpu" and not os.environ.get(
         "BENCH_NO_PARITY"
     ):
-        _log_phase("hardware parity check (pallas vs jax)")
-        from gstk_tpu.utils.parity import check_pallas_parity
+        _log_phase("hardware parity check (pallas vs jax, both attr layouts)")
+        from gstk_tpu.utils.parity import check_pallas_parity_all_layouts
 
-        check_pallas_parity()  # raises on divergence -> no bench output
+        # raises on divergence -> no bench output; covers the transposed
+        # attr layout too (auto-activates above 400k Gaussians in training)
+        check_pallas_parity_all_layouts()
         parity = "ok"
 
     # 60 iters: the tunneled runtime pipelines the async dispatches but the

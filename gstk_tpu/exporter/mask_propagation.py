@@ -61,29 +61,37 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.logical_and(a, b).sum()) / float(union)
 
 
+def _consolidate(det: np.ndarray, carried: Optional[np.ndarray],
+                 iou_floor: float) -> np.ndarray:
+    """Keep the detection when it's consistent with the carried mask
+    (IoU >= floor); an empty or inconsistent detection defers to the
+    carry (DEVA's in-between-consolidation behavior)."""
+    if carried is None or carried.sum() == 0:
+        return det
+    if det.sum() == 0:
+        return carried
+    if _iou(det, carried) >= iou_floor:
+        return det
+    return carried
+
+
 def _chain(grays: Sequence[np.ndarray], dets: Sequence[np.ndarray],
-           order: Sequence[int], iou_floor: float) -> List[np.ndarray]:
+           order: Sequence[int], iou_floor: float,
+           seed: Optional[np.ndarray] = None) -> List[np.ndarray]:
     """One directional propagation pass: walk frames in ``order``, carrying
-    the consolidated mask by flow warp. A frame's detection is kept when
-    it's consistent with the carried mask (IoU >= floor); an empty or
-    inconsistent detection is replaced by the warped carry (DEVA's
-    in-between-consolidation behavior)."""
+    the consolidated mask by flow warp. ``seed`` (optional) consolidates
+    the FIRST frame of the walk too — without it the chain's first output
+    is the raw detection, and endpoint flicker/dropout would survive the
+    final vote (out[0] would equal dets[0] identically)."""
     out: List[Optional[np.ndarray]] = [None] * len(dets)
     prev_idx = None
     for t in order:
         det = dets[t]
         if prev_idx is None:
-            cur = det
+            cur = _consolidate(det, seed, iou_floor)
         else:
             carried = _warp_mask(out[prev_idx], grays[prev_idx], grays[t])
-            if det.sum() == 0:
-                cur = carried
-            elif carried.sum() == 0:
-                cur = det
-            elif _iou(det, carried) >= iou_floor:
-                cur = det
-            else:
-                cur = carried
+            cur = _consolidate(det, carried, iou_floor)
         out[t] = cur
         prev_idx = t
     return out  # type: ignore[return-value]
@@ -116,8 +124,15 @@ def propagate_masks(
         return [np.asarray(m, bool) for m in masks]
     grays = [_to_gray(np.asarray(img)) for img in images]
     dets = [np.asarray(m, bool) for m in masks]
-    fwd = _chain(grays, dets, range(n), iou_floor)
-    bwd = _chain(grays, dets, range(n - 1, -1, -1), iou_floor)
+    # Endpoint consolidation: a plain forward chain starts from the raw
+    # first detection, so frame-0 flicker/dropout would dominate the vote
+    # (votes = 2*det + bwd there). Seed each chain with the OTHER
+    # direction's verdict at its start frame: bwd_raw informs fwd[0], the
+    # finished fwd informs bwd[n-1].
+    bwd_raw = _chain(grays, dets, range(n - 1, -1, -1), iou_floor)
+    fwd = _chain(grays, dets, range(n), iou_floor, seed=bwd_raw[0])
+    bwd = _chain(grays, dets, range(n - 1, -1, -1), iou_floor,
+                 seed=fwd[n - 1])
     out = []
     for t in range(n):
         votes = (

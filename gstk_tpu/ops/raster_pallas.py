@@ -642,8 +642,7 @@ def _bwd_tile(
             g_img, colors, (((0,), (0,)), ((), ()))
         )  # (P, K)
         # threshold-free (pure gradient magnitude): 2 passes suffice
-        wg_cs = _cumsum_lanes(w * g_dot_col, terms=2)
-        g_prefix_incl = g_prefix + wg_cs
+        g_prefix_incl = g_prefix + _cumsum_lanes(w * g_dot_col, terms=2)
         inv_one_m = 1.0 / jnp.maximum(1.0 - a_k, inv_floor)
         v_alpha = (
             t_prev * g_dot_col
@@ -694,9 +693,12 @@ def _bwd_tile(
         )  # (rows, K)
         start_write(i, slot)
 
-        # chunk total = last lane of the inclusive cumsum (a cheap lane
-        # slice) — the former separate multiply+reduce recomputed it
-        g_prefix = g_prefix_incl[:, CHUNK - 1 : CHUNK]
+        # Exact f32 VPU reduce for the cross-chunk carry (NOT the terms=2
+        # cumsum's last lane): the carry compounds over every chunk of a
+        # dense tile and feeds the cancellation-sensitive suffix term
+        # (g_dot_acc - g_prefix_incl), so it stays full-precision while
+        # the within-chunk cumsum keeps its cheap 2-term split.
+        g_prefix = g_prefix + jnp.sum(w * g_dot_col, axis=1, keepdims=True)
         return i + 1, t_run * jnp.exp(log_dec), dead_next, g_prefix
 
     t0 = jnp.ones((p, 1), jnp.float32)

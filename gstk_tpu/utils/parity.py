@@ -107,3 +107,13 @@ def check_pallas_parity(rtol_img=1e-3, atol_img=1e-4, rtol_grad=5e-3,
         )
     )
     return {"max_img_abs_dev": img_dev, "max_grad_rel_dev": grad_dev}
+
+
+def check_pallas_parity_all_layouts():
+    """Parity for BOTH attribute layouts. 'auto' resolves to 'wide' at the
+    small parity scene, so the transposed path (which auto-activates in
+    production above 400k Gaussians — exactly where run_quality.sh trains)
+    must be forced explicitly or it would never see a hardware gate."""
+    devs = {"wide": check_pallas_parity(attr_layout="wide")}
+    devs["transposed"] = check_pallas_parity(attr_layout="transposed")
+    return devs

@@ -138,15 +138,17 @@ def test_cli_end_to_end(dataset, tmp_path, monkeypatch):
     assert (export_out / "tsdf_mesh.ply").exists()
     # masked + temporally propagated variant over the rendered train
     # trajectory (the DEVA role: flow-carried fwd/bwd chains + majority
-    # vote, exporter/mask_propagation.py)
+    # vote, exporter/mask_propagation.py) — fresh output dir so the
+    # assertion can't be satisfied by the unmasked export above
+    masked_out = tmp_path / "exports_masked"
     export_script.main([
         "offline-tsdf",
         "--load-config", str(config_yml),
-        "--output-dir", str(export_out),
+        "--output-dir", str(masked_out),
         "--voxel-size", "0.05",
         "--volume-size", "3.0",
         "--sdf-trunc", "0.15",
         "--mask-method", "threshold",
         "--propagate-masks",
     ])
-    assert (export_out / "tsdf_mesh.ply").exists()
+    assert (masked_out / "tsdf_mesh.ply").exists()

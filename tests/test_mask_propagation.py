@@ -48,6 +48,26 @@ def test_propagation_fills_dropout_and_overrides_flicker():
     assert _iou(out[5], wrong) < 0.2
 
 
+def test_propagation_fixes_endpoint_flicker_and_dropout():
+    """Sequence ENDPOINTS have only one chain direction carrying real
+    information; the seeded-chain consolidation must still override a
+    frame-0 flicker and fill a last-frame dropout (the naive 3-way vote
+    degenerates to the raw detection there)."""
+    frames, gts = _make_sequence()
+    dets = [g.copy() for g in gts]
+    wrong = np.zeros_like(dets[0])
+    wrong[2:20, 2:20] = True
+    dets[0] = wrong  # flicker on the FIRST frame
+    dets[-1] = np.zeros_like(dets[-1])  # dropout on the LAST frame
+
+    out = propagate_masks(frames, dets)
+    assert _iou(out[0], gts[0]) > 0.7, f"frame 0 IoU {_iou(out[0], gts[0]):.2f}"
+    assert _iou(out[0], wrong) < 0.2
+    assert _iou(out[-1], gts[-1]) > 0.7, (
+        f"last frame IoU {_iou(out[-1], gts[-1]):.2f}"
+    )
+
+
 def test_propagation_preserves_consistent_detections():
     frames, gts = _make_sequence()
     out = propagate_masks(frames, [g.copy() for g in gts])

@@ -15,11 +15,14 @@ pytestmark = pytest.mark.skipif(
 def test_pallas_raster_fwd_bwd_on_tpu():
     # The same guard bench.py runs before every timing loop: pallas-vs-jax
     # image + grad parity on a small deterministic scene (exercises the
-    # bf16-split dot and segment-kernel precision contracts on hardware).
-    from gstk_tpu.utils.parity import check_pallas_parity
+    # bf16-split dot and segment-kernel precision contracts on hardware),
+    # for BOTH attribute layouts (transposed auto-activates above 400k
+    # Gaussians in production training).
+    from gstk_tpu.utils.parity import check_pallas_parity_all_layouts
 
-    devs = check_pallas_parity()
-    assert devs["max_grad_rel_dev"] < 5e-3
+    devs = check_pallas_parity_all_layouts()
+    for layout, d in devs.items():
+        assert d["max_grad_rel_dev"] < 5e-3, layout
 
 
 def test_train_step_on_tpu():
