@@ -46,6 +46,7 @@ class Renderer:
         # auto-banding provides, and truncated intersections silently wreck
         # offline eval (observed PSNR 20.1 -> 15.2 on the 15k checkpoint).
         self._meta_bands = 0
+        self._meta_isect = 0
         # Active (ramp-clamped) SH degree at save time; default to the model
         # config for checkpoints predating the field. Rendering with
         # cfg.sh_degree instead would only match when inactive rest
@@ -54,17 +55,20 @@ class Renderer:
         try:
             meta = peek_meta(path)
             self._meta_bands = int(meta.get("bands", 0))
+            self._meta_isect = int(meta.get("isect_capacity", 0))
             self.sh_degree = int(meta.get("sh_degree", self.sh_degree))
         except Exception:
             pass
         if raster_config is None:
-            # full per-band budget + auto-banding: offline renders of any
-            # resolution stay under the 2^20 sort ceiling per band
-            # (docs/PERFORMANCE.md; 2^21 also trips a TPU backend error).
-            # bands=0 resolves per render size in _render_fn, floored at
-            # the checkpoint's trained band count.
+            # full per-band budget + auto-banding; bands=0 resolves per
+            # render size in _render_fn, floored at the checkpoint's
+            # trained band count, and the per-band capacity floors at the
+            # checkpoint's grown capacity (the trainer runs to 2^21 before
+            # banding — a 2^20 default would truncate intersections and
+            # silently wreck offline eval: observed 22.93 -> 21.37 PSNR on
+            # the 240-view 15k checkpoint).
             raster_config = RasterizeConfig(
-                isect_capacity=1 << 20, bands=0
+                isect_capacity=max(1 << 20, self._meta_isect), bands=0
             )
         self.raster_config = raster_config
         self.background = jnp.asarray(background, jnp.float32)

@@ -193,3 +193,14 @@ def test_renderer_reads_checkpoint_raster_meta(tmp_path):
     path2 = ckpt.save_checkpoint(tmp_path / "ckpts2", state, True)
     r3 = Renderer(path2)
     assert r3._raster_for(64, 48).bands == 1
+    # the default config also floors isect capacity at the checkpoint's
+    # grown value (the trainer runs to 2^21 before banding; a 2^20 default
+    # truncated intersections: observed 22.93 -> 21.37 eval PSNR on the
+    # 240-view 15k checkpoint)
+    path3 = ckpt.save_checkpoint(
+        tmp_path / "ckpts3", state, True,
+        extras={"bands": 1, "isect_capacity": 1 << 21},
+    )
+    r4 = Renderer(path3)
+    assert r4.raster_config.isect_capacity == 1 << 21
+    assert r3.raster_config.isect_capacity == 1 << 20  # meta-less default
