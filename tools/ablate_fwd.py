@@ -79,7 +79,100 @@ def build_variant(rp, variant, tiles_x, block_width, ch, num_tiles, tpc):
             def _():
                 start_dma(0, 0)
 
-            if variant == "dmaonly":
+            if variant.startswith("marg_"):
+                # Marginal-cost attribution: remove ONE in-body component
+                # (outputs become wrong — timing only). marg_full keeps
+                # everything and differs from "full" only in sharing this
+                # code path.
+                skip = variant[5:]
+
+                def body(i, c):
+                    t_run, dead, acc = c
+                    slot = jax.lax.rem(i, 2)
+
+                    @pl.when(i + 1 < n_chunks)
+                    def _():
+                        start_dma(i + 1, 1 - slot)
+                    wait_dma(i, slot)
+                    off = (b0 + i) * CHUNK
+                    if skip == "transpose":
+                        chunk = chunk_vmem[slot][0:rows, :]
+                    else:
+                        chunk = rp._mxu_transpose(chunk_vmem[slot], rows)
+                    x = chunk[0:1, :] - ox
+                    y = chunk[1:2, :] - oy
+                    ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
+                    op = chunk[5:6, :]
+                    if skip == "sigmadot":
+                        sigma = x * y  # placeholder (P broadcast), no dot
+                        sigma = jnp.broadcast_to(sigma, (p, CHUNK))
+                    else:
+                        c0 = 0.5 * (ca * x * x + cc * y * y) + cb * x * y
+                        c1 = -(ca * x + cb * y)
+                        c2 = -(cc * y + cb * x)
+                        coeffs = jnp.concatenate(
+                            [c0, c1, c2, 0.5 * ca, 0.5 * cc, cb], axis=0
+                        )
+                        sigma = rp._mxu_dot(
+                            basis, coeffs, (((1,), (0,)), ((), ())),
+                            a_exact=True,
+                        )
+                    if skip == "exp":
+                        exp_neg = 1.0 - 0.5 * sigma
+                    else:
+                        exp_neg = jnp.exp(-sigma)
+                    raw = op * exp_neg
+                    alpha = jnp.minimum(raw, 0.999)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, CHUNK), 1)
+                    in_range = ((off + lane) >= start) & ((off + lane) < end)
+                    valid = (sigma >= 0.0) & (alpha >= 1.0 / 255.0) & in_range
+                    a_eff = jnp.where(valid, alpha, 0.0)
+                    if skip == "log1p":
+                        logm = -a_eff
+                    else:
+                        logm = jnp.log1p(-a_eff)
+                    if skip == "cumsum":
+                        cs = logm
+                    else:
+                        cs = rp._cumsum_lanes(logm, terms=2)
+                    if skip == "exp":
+                        e_cs = 1.0 + cs
+                    else:
+                        e_cs = jnp.exp(cs)
+                    t_incl = t_run * e_cs
+                    t_prev = t_incl / (1.0 - a_eff)
+                    broke = jnp.where(t_incl <= 1e-4, 1.0, 0.0)
+                    dead_incl = jnp.maximum(dead, broke)
+                    keep = valid & (dead_incl < 0.5)
+                    a_k = jnp.where(keep, a_eff, 0.0)
+                    log_dec = jnp.sum(
+                        jnp.where(keep, logm, 0.0), axis=1, keepdims=True
+                    )
+                    dead = jnp.maximum(
+                        dead, jnp.max(broke, axis=1, keepdims=True)
+                    )
+                    w = t_prev * a_k
+                    colors = chunk[6 : 6 + ch, :]
+                    if skip == "contrib":
+                        # keep w alive without the (ch,K)x(P,K) dot (a
+                        # scalar reduce, no relayout)
+                        acc = acc + colors[:, 0:1] * jnp.sum(w)
+                    else:
+                        acc = acc + rp._mxu_dot(
+                            colors, w, (((1,), (1,)), ((), ()))
+                        )
+                    return t_run * jnp.exp(log_dec), dead, acc
+
+                acc0 = jnp.zeros((ch, p), jnp.float32)
+                t0 = jnp.ones((p, 1), jnp.float32)
+                dead0 = jnp.zeros((p, 1), jnp.float32)
+                t_final, _, acc = jax.lax.fori_loop(
+                    0, n_chunks, body, (t0, dead0, acc0)
+                )
+                out_ref[sub, 0:ch, :] = acc
+                out_ref[sub, ch : ch + 1, :] = jnp.zeros((1, p), jnp.float32)
+            elif variant == "dmaonly":
                 def body(i, acc):
                     slot = jax.lax.rem(i, 2)
 
@@ -295,8 +388,14 @@ def main():
         bins_j = jnp.asarray(bins)
         print(f"--- T={t_tiles} C={c_per_tile} ---")
         base_acc = None
-        for variant in ("full", "noexit", "accloop", "noreshape",
-                        "batchT", "batchTmxu", "dmaonly"):
+        variants = ("full", "noexit", "accloop", "noreshape",
+                    "batchT", "batchTmxu", "dmaonly")
+        if os.environ.get("ABLATE_MARGINAL"):
+            # per-chunk component attribution (wrong outputs, timing only)
+            variants = ("marg_none", "marg_transpose", "marg_sigmadot",
+                        "marg_exp", "marg_log1p", "marg_cumsum",
+                        "marg_contrib")
+        for variant in variants:
             ms, acc = run_variant(
                 rp, variant, attr_j, bins_j, tiles, ch, iters
             )
