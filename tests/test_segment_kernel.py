@@ -140,3 +140,22 @@ def test_segment_sum_sorted_empty_and_clipped(rng):
         out[:, 100], vals.sum(axis=1), rtol=1e-5, atol=1e-4
     )
     assert np.all(out[:, 101:] == 0)
+
+
+def test_segment_sum_sorted_terms2(rng):
+    """terms=2 (the rasterize VJP's setting): ~2^-16 relative — fine for
+    threshold-free gradient sums."""
+    from gstk_tpu.ops.segment_kernel import segment_sum_sorted
+
+    rows, npv, n = 16, 2048, 1500
+    vals = rng.normal(size=(rows, npv)).astype(np.float32)
+    counts = rng.integers(0, 4, n)
+    hi = np.minimum(np.cumsum(counts), npv).astype(np.int32)
+    out = np.asarray(segment_sum_sorted(
+        jnp.asarray(vals), jnp.asarray(hi), interpret=True, terms=2
+    ))
+    lo = np.concatenate([[0], hi[:-1]])
+    ref = np.stack(
+        [vals[:, l:h].sum(axis=1) for l, h in zip(lo, hi)], axis=1
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
