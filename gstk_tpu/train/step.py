@@ -69,6 +69,56 @@ def init_train_state(
     )
 
 
+def state_layout_formats(state: TrainState):
+    """Per-leaf jit layout spec pinning SH rest-coefficient tensors
+    ((C, K-1, 3) in scene/Adam moments) to the {0,2,1} device layout the
+    SH-eval contraction and the Adam update fusion both prefer.
+
+    XLA picks default (major-to-minor) layouts for jit inputs/outputs and
+    does not optimize across call boundaries, so the carried train state
+    crossed the step boundary in {0,1,2} while every consumer inside
+    wanted {0,2,1} — four (C,15,3) relayout copies per step, ~2.8 ms at
+    1M capacity (docs/PERFORMANCE.md). Pinning the boundary layout
+    removes them all (probe: 46.8 -> 44.7 ms/step; composes with
+    donate_argnums).
+
+    Returns a pytree matching ``state`` with Format leaves on the pinned
+    tensors and None elsewhere, or None when unavailable (non-TPU
+    backend, API drift, multi-device mesh — the DP path manages its own
+    shardings).
+
+    **NOT WIRED IN — recorded negative result.** A standalone probe at 1M
+    capacity measured the expected win (46.8 -> 44.7 ms/step, copies
+    gone), but wiring the same pin into bench.py at 104k capacity
+    CRASHED throughput 30x (29.7 -> ~960 ms/step, parity still ok) —
+    the pinned boundary layout apparently forces XLA into a
+    catastrophically different layout assignment for the rest of the
+    program at that scale. Do not re-enable without profiling BOTH
+    operating points; the ~2.8 ms of (C,15,3) relayout copies at 1M
+    stay as the known cost (docs/PERFORMANCE.md)."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+    except ImportError:
+        return None
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return None
+    dev = jax.devices()[0]
+
+    def leaf(x):
+        if (
+            getattr(x, "ndim", 0) == 3
+            and x.shape[-1] == 3
+            and x.shape[1] >= 1
+        ):
+            return Format(
+                Layout(major_to_minor=(1, 2, 0)), SingleDeviceSharding(dev)
+            )
+        return None
+
+    return jax.tree.map(leaf, state)
+
+
 def _background(key: jax.Array, mode: str) -> jax.Array:
     if mode == "random":
         return jax.random.uniform(key, (3,))
