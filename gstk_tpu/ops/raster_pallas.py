@@ -661,6 +661,9 @@ def _bwd_tile(
         g_colors = _mxu_dot(
             g_img, w, (((1,), (0,)), ((), ()))
         )  # (ch, K)
+        # terms=3 kept deliberately: a terms=2 variant (one fewer MXU
+        # pass) measured reproducibly ~0.25 ms SLOWER end to end on
+        # hardware — Mosaic scheduling, not arithmetic, dominates here.
         m = _mxu_dot(
             basis, v_sigma, (((0,), (0,)), ((), ())), a_exact=True
         )  # (6, K)
