@@ -261,55 +261,64 @@ def _keep(t_run, dead, a_eff, logm, valid):
     return a_k, t_prev, log_dec, dead_next
 
 
-def _attr_dma_helpers(attr_ref, chunk_vmem, sem, transposed: bool):
-    """Chunk DMA start/wait for either attribute layout.
+def _attr_dma_helpers(attr_ref, chunk_vmem, sem, mode):
+    """Chunk DMA start/wait for the attribute layouts.
 
-    Wide (entry-major): ``attr_ref`` is (cap_alloc, ATTR_W); a chunk is a
-    128-row sublane slice, transposed to attr-major on arrival by one MXU
-    contraction. Transposed (attr-major): ``attr_ref`` is (rows,
+    "wide" (entry-major): ``attr_ref`` is (cap_alloc, ATTR_W); a chunk is
+    a 128-row sublane slice, transposed to attr-major on arrival by one
+    MXU contraction. "transposed" (attr-major): ``attr_ref`` is (rows,
     cap_alloc); a chunk is a 128-lane minor slice arriving attr-major
     directly (no MXU transpose) — used above the capacity threshold where
     the entry-major pack gather turns row-latency bound
-    (docs/PERFORMANCE.md, transposed-attr-table design)."""
+    (docs/PERFORMANCE.md). "blocked": ``attr_ref`` is (nb, rows, CHUNK)
+    attr-major blocks — the forward kernel's saved arrival transposes,
+    consumed by the backward kernel so it never re-pays the transpose.
+    ``mode`` may be a legacy bool (True == "transposed")."""
+    if mode is True:
+        mode = "transposed"
+    elif mode is False:
+        mode = "wide"
+
+    def src_at(off):
+        if mode == "transposed":
+            return attr_ref.at[:, pl.ds(off, CHUNK)]
+        if mode == "blocked":
+            return attr_ref.at[off // CHUNK]
+        return attr_ref.at[pl.ds(off, CHUNK)]
 
     def make_dma(b0):
         def start_dma(i, slot):
             off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-            src = (
-                attr_ref.at[:, pl.ds(off, CHUNK)]
-                if transposed
-                else attr_ref.at[pl.ds(off, CHUNK)]
-            )
-            pltpu.make_async_copy(src, chunk_vmem.at[slot], sem.at[slot]).start()
+            pltpu.make_async_copy(
+                src_at(off), chunk_vmem.at[slot], sem.at[slot]
+            ).start()
 
         def wait_dma(i, slot):
             off = pl.multiple_of((b0 + i) * CHUNK, CHUNK)
-            src = (
-                attr_ref.at[:, pl.ds(off, CHUNK)]
-                if transposed
-                else attr_ref.at[pl.ds(off, CHUNK)]
-            )
-            pltpu.make_async_copy(src, chunk_vmem.at[slot], sem.at[slot]).wait()
+            pltpu.make_async_copy(
+                src_at(off), chunk_vmem.at[slot], sem.at[slot]
+            ).wait()
 
         return start_dma, wait_dma
 
     def next_tile_prefetch(noff):
-        src = (
-            attr_ref.at[:, pl.ds(noff, CHUNK)]
-            if transposed
-            else attr_ref.at[pl.ds(noff, CHUNK)]
-        )
-        pltpu.make_async_copy(src, chunk_vmem.at[0], sem.at[0]).start()
+        pltpu.make_async_copy(
+            src_at(noff), chunk_vmem.at[0], sem.at[0]
+        ).start()
 
     return make_dma, next_tile_prefetch
 
 
 def _fwd_kernel(
-    bins_ref, attr_ref, out_ref, chunk_vmem, sem,
-    *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
+    bins_ref, attr_ref, out_ref, *rest,
+    tiles_x: int, block_width: int, ch: int, num_tiles: int,
     tiles_per_call: int = 1, persistent_prefetch: bool = True,
-    attr_transposed: bool = False,
+    attr_transposed: bool = False, save_transposed: bool = False,
 ):
+    if save_transposed:
+        tout_ref, chunk_vmem, sem, tbuf, wsem = rest
+    else:
+        chunk_vmem, sem = rest
     base = pl.program_id(0) * tiles_per_call
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
@@ -335,6 +344,23 @@ def _fwd_kernel(
             end > start, (end + CHUNK - 1) // CHUNK - b0, 0
         )
         start_dma, wait_dma = make_dma(b0)
+
+        if save_transposed:
+            # Saved-transpose write stream: the arrival transpose (an MXU
+            # contraction the backward kernel would otherwise recompute
+            # per chunk) is written out as (rows, CHUNK) blocks, double-
+            # buffered like the bwd gradient writes. Shared boundary
+            # blocks are written by both owning tiles with IDENTICAL
+            # content (the transpose is tile-independent) — benign.
+            def start_write(i, slot):
+                pltpu.make_async_copy(
+                    tbuf.at[slot], tout_ref.at[b0 + i], wsem.at[slot]
+                ).start()
+
+            def wait_write(i, slot):
+                pltpu.make_async_copy(
+                    tbuf.at[slot], tout_ref.at[b0 + i], wsem.at[slot]
+                ).wait()
 
         if persistent_prefetch:
             # Cross-tile pipelining: VMEM scratch persists across grid
@@ -371,6 +397,12 @@ def _fwd_kernel(
                 if attr_transposed
                 else _mxu_transpose(chunk_vmem[slot], rows)
             )  # (rows, K)
+            if save_transposed:
+                @pl.when(i >= 2)
+                def _():
+                    wait_write(i - 2, slot)
+                tbuf[slot] = chunk
+                start_write(i, slot)
             a_eff, logm, valid, _ = _chunk_alpha(
                 chunk, basis, ox, oy, off, start, end
             )
@@ -396,6 +428,16 @@ def _fwd_kernel(
         @pl.when(i_done < n_chunks)
         def _():
             wait_dma(i_done, jax.lax.rem(i_done, 2))
+        if save_transposed:
+            # drain the last two saved-transpose writes before the next
+            # tile reuses the buffers
+            @pl.when(i_done >= 1)
+            def _():
+                wait_write(i_done - 1, jax.lax.rem(i_done - 1, 2))
+
+            @pl.when(i_done >= 2)
+            def _():
+                wait_write(i_done - 2, jax.lax.rem(i_done - 2, 2))
         if persistent_prefetch:
             # hand chunk 0 of the next (non-empty) tile onward — to the
             # next sub-tile of this invocation or to the next invocation
@@ -430,7 +472,10 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_bounds", "block_width", "ch", "interpret")
+    jax.jit,
+    static_argnames=(
+        "tile_bounds", "block_width", "ch", "interpret", "save_transposed"
+    ),
 )
 def composite_tiles_fwd(
     s_attr: jax.Array,  # (Cp, ATTR_W) entry-major OR (rows, Cp) attr-major
@@ -439,8 +484,14 @@ def composite_tiles_fwd(
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
+    save_transposed: bool = False,
 ):
-    """Returns (T, out_rows(ch), P) packed [colors rows, final_t row].
+    """Returns (T, out_rows(ch), P) packed [colors rows, final_t row];
+    with ``save_transposed`` also the (nb, rows, CHUNK) arrival
+    transposes of every processed chunk (the bwd kernel consumes them and
+    skips its own per-chunk MXU transpose — wide layout only; unprocessed
+    blocks hold garbage that the bwd never reads, since it early-exits at
+    exactly the same chunk as the fwd).
 
     The attribute layout is inferred from ``s_attr``'s shape: entry-major
     (Cp, ATTR_W) rows, or attr-major (attr_rows(ch), Cp) — the transposed
@@ -448,33 +499,56 @@ def composite_tiles_fwd(
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     orows = out_rows(ch)
+    rows = attr_rows(ch)
     tpc = _tiles_per_call(num_tiles)
     transposed = s_attr.shape[0] == attr_rows(ch) and s_attr.shape[1] > ATTR_W
+    if transposed:
+        save_transposed = False  # chunks already arrive attr-major
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         num_tiles=num_tiles, tiles_per_call=tpc,
         persistent_prefetch=not interpret, attr_transposed=transposed,
+        save_transposed=save_transposed,
     )
     chunk_shape = (
         (2, attr_rows(ch), CHUNK) if transposed else (2, CHUNK, ATTR_W)
     )
+    scratch = [
+        pltpu.VMEM(chunk_shape, jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out_specs = pl.BlockSpec(
+        (tpc, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((num_tiles, orows, p), jnp.float32)
+    if save_transposed:
+        nb = s_attr.shape[0] // CHUNK
+        scratch += [
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((nb, rows, CHUNK), jnp.float32),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles // tpc,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (tpc, orows, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(chunk_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, orows, p), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
+        **(
+            dict(compiler_params=pltpu.CompilerParams(has_side_effects=True))
+            if save_transposed
+            else {}
+        ),
     )(tile_bins.reshape(-1), s_attr)
     return out
 
@@ -485,7 +559,7 @@ def _bwd_kernel(
     chunk_vmem, gtile_vmem, sem, wsem,
     *, tiles_x: int, block_width: int, ch: int, num_tiles: int,
     tiles_per_call: int = 1, persistent_prefetch: bool = True,
-    attr_transposed: bool = False,
+    attr_mode: str = "wide",
 ):
     """Backward sweep: recompute chunks front-to-back, write
     per-intersection gradients attr-major as (rows, CHUNK) blocks.
@@ -532,7 +606,7 @@ def _bwd_kernel(
             ppt[:, 2 * sub + 1 : 2 * sub + 2],
             tiles_x=tiles_x, block_width=block_width, ch=ch,
             num_tiles=num_tiles, persistent_prefetch=persistent_prefetch,
-            attr_transposed=attr_transposed,
+            attr_mode=attr_mode,
         )
 
 
@@ -543,7 +617,7 @@ def _bwd_tile(
     basis, p, rows, inv_floor,
     g_dot_acc, gt_tf,  # (P, 1) per-pixel scalars, batched by the caller
     *, tiles_x, block_width, ch, num_tiles, persistent_prefetch,
-    attr_transposed=False,
+    attr_mode="wide",
 ):
     start = bins_ref[2 * t]
     end = bins_ref[2 * t + 1]
@@ -566,7 +640,7 @@ def _bwd_tile(
     # i's math, and each gradient write drains while the next two chunks
     # compute (waited only when its buffer is about to be reused).
     make_dma, next_tile_prefetch = _attr_dma_helpers(
-        attr_ref, chunk_vmem, sem, attr_transposed
+        attr_ref, chunk_vmem, sem, attr_mode
     )
     start_read, wait_read = make_dma(b0)
 
@@ -625,9 +699,9 @@ def _bwd_tile(
         wait_read(i, slot)
         off = (b0 + i) * CHUNK
         chunk = (
-            chunk_vmem[slot]
-            if attr_transposed
-            else _mxu_transpose(chunk_vmem[slot], rows)
+            _mxu_transpose(chunk_vmem[slot], rows)
+            if attr_mode == "wide"
+            else chunk_vmem[slot]
         )  # (rows, K)
         a_eff, logm, valid, extras = _chunk_alpha(
             chunk, basis, ox, oy, off, start, end
@@ -758,13 +832,19 @@ def composite_tiles_bwd(
     block_width: int = 16,
     ch: int = 4,
     interpret: bool = False,
+    t_attr: jax.Array = None,  # (nb, rows, CHUNK) saved fwd transposes
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-intersection gradients, attr-major blocks.
 
     Returns (gout (nb, rows, CHUNK), side (T, rows, CHUNK)): the final
     per-entry gradient for block b is ``gout[b] + sum(side[t] for tiles t
     whose range starts inside block b)`` — the caller merges with one
-    scatter-add (see rasterize._make_composite_pallas)."""
+    scatter-add (see rasterize._make_composite_pallas).
+
+    ``t_attr`` (from ``composite_tiles_fwd(save_transposed=True)``): the
+    fwd kernel's saved arrival transposes — the bwd then reads (rows,
+    CHUNK) blocks directly and skips its own per-chunk MXU transpose
+    (and 8x of the chunk read bytes). Wide layout only."""
     num_tiles = tile_bounds[0] * tile_bounds[1]
     p = block_width * block_width
     rows = attr_rows(ch)
@@ -772,10 +852,17 @@ def composite_tiles_bwd(
     cp = s_attr.shape[1] if transposed else s_attr.shape[0]
     orows = fwd_packed.shape[1]
     tpc = _tiles_per_call(num_tiles)
+    if transposed:
+        attr_mode = "transposed"
+    elif t_attr is not None:
+        attr_mode = "blocked"
+        s_attr = t_attr
+    else:
+        attr_mode = "wide"
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         num_tiles=num_tiles, tiles_per_call=tpc,
-        persistent_prefetch=not interpret, attr_transposed=transposed,
+        persistent_prefetch=not interpret, attr_mode=attr_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -799,7 +886,8 @@ def composite_tiles_bwd(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, rows, CHUNK) if transposed else (2, CHUNK, ATTR_W),
+                (2, CHUNK, ATTR_W) if attr_mode == "wide"
+                else (2, rows, CHUNK),
                 jnp.float32,
             ),
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),

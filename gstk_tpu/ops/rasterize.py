@@ -382,7 +382,8 @@ def _make_composite_pallas(
         )
         return base_t[:, gid_ext]
 
-    def _forward(xys, conics, colors, opacities, sorted_gids, tile_bins):
+    def _forward(xys, conics, colors, opacities, sorted_gids, tile_bins,
+                 save_transposed=False):
         layout = attr_layout
         if layout == "auto":
             # The wide pack gather's per-Gaussian table (N, 128) stays
@@ -393,13 +394,18 @@ def _make_composite_pallas(
             layout = "transposed" if xys.shape[0] >= 400_000 else "wide"
         pack = pack_sorted_t if layout == "transposed" else pack_sorted
         attr = pack(xys, conics, colors, opacities, sorted_gids)
-        packed = rp.composite_tiles_fwd(
+        # Grad-mode wide-layout forward saves its arrival transposes so
+        # the bwd kernel skips its per-chunk MXU transpose (raster_pallas
+        # save_transposed docs); render-only calls skip the extra output.
+        save = save_transposed and layout == "wide"
+        out = rp.composite_tiles_fwd(
             attr, tile_bins, tile_bounds, block_width, ch=ch,
-            interpret=interpret,
+            interpret=interpret, save_transposed=save,
         )
+        packed, t_attr = out if save else (out, None)
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
         final_t = packed[:, ch, :]
-        return acc, final_t, attr, tile_bins, packed
+        return acc, final_t, attr, tile_bins, packed, t_attr
 
     @jax.custom_vjp
     def composite(
@@ -415,16 +421,17 @@ def _make_composite_pallas(
         xys, conics, colors, opacities, sorted_gids, pos_sorted,
         tile_bins, counts,
     ):
-        acc, final_t, attr, _, packed = _forward(
-            xys, conics, colors, opacities, sorted_gids, tile_bins
+        acc, final_t, attr, _, packed, t_attr = _forward(
+            xys, conics, colors, opacities, sorted_gids, tile_bins,
+            save_transposed=True,
         )
         cap = sorted_gids.shape[0]
         return (acc, final_t), (
-            attr, tile_bins, counts, packed, pos_sorted, cap
+            attr, tile_bins, counts, packed, pos_sorted, cap, t_attr
         )
 
     def bwd(res, cts):
-        attr, tile_bins, counts, packed, pos_sorted, cap = res
+        attr, tile_bins, counts, packed, pos_sorted, cap, t_attr = res
         g_acc, g_final_t = cts
         p = block_width * block_width
         num_tiles = tile_bounds[0] * tile_bounds[1]
@@ -433,7 +440,7 @@ def _make_composite_pallas(
         ct_packed = ct_packed.at[:, ch, :].set(g_final_t)
         g_blk, side = rp.composite_tiles_bwd(
             attr, tile_bins, packed, ct_packed, tile_bounds,
-            block_width, ch=ch, interpret=interpret,
+            block_width, ch=ch, interpret=interpret, t_attr=t_attr,
         )  # (nb, rows, CHUNK) in-place blocks + (T, rows, CHUNK) side slabs
         # merge shared-boundary contributions: each tile's side slab adds
         # into the block containing its first entry (zeros elsewhere) —
