@@ -133,6 +133,13 @@ def _round_up_bucket(n: int) -> int:
 
 class Trainer:
     def __init__(self, config: TrainerConfig):
+        # Device-scalar intersection counts of every step since the last
+        # metrics fetch: holding the references costs nothing per step (no
+        # host-issued ops, no sync), and the fetch-boundary peak closes the
+        # overflow blind spot — a densification spike on a non-logged step
+        # previously went unexamined and silently truncated renders
+        # (binning drops the farthest-sorted intersections past capacity).
+        self._isect_window: list = []
         self.config = config
         self._step_cache: Dict = {}
         self._render_cache: Dict = {}
@@ -220,7 +227,14 @@ class Trainer:
         )
         cache = (cams, imgs, masks, depths, mscales, mshifts)
         jax.block_until_ready(imgs)
-        self._dev_cache = {d: cache}  # evict earlier buckets
+        # evict earlier TRAIN buckets (downscale_factor is non-increasing in
+        # step, so they are never revisited) but keep non-bucket entries —
+        # wiping the whole dict dropped the "eval_gts" cache and re-uploaded
+        # the full eval split on every coarse-to-fine transition
+        self._dev_cache = {
+            k: v for k, v in self._dev_cache.items() if not isinstance(k, int)
+        }
+        self._dev_cache[d] = cache
         return cache
 
 
@@ -524,6 +538,21 @@ class Trainer:
         return camera, jnp.asarray(img), mask, depth, mono_scale, mono_shift
 
     # -- capacity management ----------------------------------------------
+    def _drain_isect_window(self, metrics_host: Dict) -> Dict:
+        """Growth sees the PEAK intersection count over every step since the
+        last metrics fetch, not just the fetched step's — a mid-window
+        densification spike triggers growth/banding at this boundary instead
+        of silently truncating renders until a spike happens to land on a
+        logged step (binning drops the farthest-sorted intersections past
+        capacity, ops/binning.py)."""
+        if not self._isect_window:
+            return metrics_host
+        peak = max(float(x) for x in self._isect_window)
+        self._isect_window.clear()
+        out = dict(metrics_host)
+        out["num_intersects"] = max(peak, out.get("num_intersects", 0))
+        return out
+
     def _maybe_grow(self, metrics: Dict) -> None:
         cfg = self.config
         state = self.state
@@ -744,6 +773,11 @@ class Trainer:
                             mono_shifts=mshifts,
                         )
 
+            if "num_intersects" in metrics:
+                # device scalar, fetched (with the rest of the window) at
+                # the next metrics boundary — see __init__
+                self._isect_window.append(metrics["num_intersects"])
+
             if (step + 1) % cfg.model.refine_every == 0:
                 k2 = self._next_key()
                 with timer("refinement"):
@@ -773,7 +807,7 @@ class Trainer:
                 )
                 self.writer.put_scalar(EventName.ITER_TRAIN_TIME, dt, step)
                 self.writer.write_out_storage()
-                self._maybe_grow(metrics_host)
+                self._maybe_grow(self._drain_isect_window(metrics_host))
                 if self.viewer is not None:
                     self.viewer.update_scene(self.state.scene, metrics_host)
 

@@ -161,6 +161,59 @@ def test_isect_growth_switches_to_bands(tmp_path):
     assert tr.state.scene.capacity == cap
 
 
+def test_mid_window_isect_spike_triggers_growth(tmp_path):
+    """Every step's intersection count must be examined: a densification
+    spike on a NON-logged step previously truncated up to log_every-1
+    consecutive renders with no growth signal (binning drops the
+    farthest-sorted intersections past capacity). The trainer keeps each
+    step's device-scalar count in a window and feeds the window PEAK to
+    _maybe_grow at the next fetch boundary."""
+    import dataclasses
+
+    from gstk_tpu.data.synthetic import generate_synthetic_dataset
+    from gstk_tpu.configs.methods import method_configs
+
+    ds = generate_synthetic_dataset(
+        tmp_path / "ds", n_points=200, n_views=4, img_wh=(48, 32)
+    )
+    cfg = method_configs()["gaussian-splatting"]
+    cfg = dataclasses.replace(
+        cfg, data=ds, output_dir=tmp_path / "out", max_num_iterations=1,
+        steps_per_eval_image=0, steps_per_eval_all_images=0,
+        isect_capacity=1 << 12, data_parallel="off",
+        dataparser=dataclasses.replace(
+            cfg.dataparser, data=ds, eval_mode="interval", eval_interval=3,
+            downscale_factor=1,
+        ),
+    )
+    tr = Trainer(cfg)
+    tr.setup()
+    cap0 = tr.raster_cfg.isect_capacity
+    # simulate the window: steps 1..4 were quiet, step 3 spiked past the
+    # buffer; the fetched (logged) step itself reads quiet again
+    spike = int(1.5 * cap0)
+    tr._isect_window.extend([100.0, 100.0, float(spike), 100.0])
+    grown = tr._drain_isect_window({"num_alive": 0, "num_intersects": 50})
+    assert grown["num_intersects"] == spike
+    assert tr._isect_window == []  # drained
+    tr._maybe_grow(grown)
+    assert tr.raster_cfg.isect_capacity >= 1.2 * spike
+    # quiet window: metrics pass through untouched
+    tr._isect_window.extend([10.0, 20.0])
+    out = tr._drain_isect_window({"num_alive": 0, "num_intersects": 30})
+    assert out["num_intersects"] == 30
+def test_train_loop_drains_isect_window(tmp_path, rng):
+    """The real train loop populates the window every step and drains it at
+    each log boundary (so a spike is never examined later than log_every
+    steps after it happened)."""
+    data = _make_dataset(tmp_path, rng)
+    cfg = _config(data, tmp_path / "out", iters=7)
+    tr = Trainer(cfg)
+    tr.setup()
+    tr.train()
+    assert tr._isect_window == []
+
+
 def test_renderer_reads_checkpoint_raster_meta(tmp_path):
     """The standalone Renderer (gs-eval/gs-render/gs-export path) must floor
     its band count at the checkpoint's persisted trained bands: a densified
