@@ -154,6 +154,45 @@ def _mxu_transpose(x, rows: int):
     return _mxu_dot(sel, x, (((1,), (1,)), ((), ())), a_exact=True)
 
 
+def _mxu_combine_transpose(x, rows: int):
+    """Exact f32 transpose+recombine of a 3-plane bf16 chunk.
+
+    ``x`` is (K, 128) bf16 with lanes [0:rows) = hi, [rows:2*rows) = mid,
+    [2*rows:3*rows) = lo — a 3-term bf16 split of the f32 attributes
+    (hi+mid+lo == the f32 value EXACTLY: each remainder has <= 8
+    significant bits left, and the partial sums never exceed 24 mantissa
+    bits, so f32 accumulation is order-independent and exact). One
+    DEFAULT-precision MXU pass with a selector carrying THREE ones per
+    row recombines and transposes in a single contraction:
+    out[a, e] = sum_l sel[a, l] x[e, l] = hi[e,a] + mid[e,a] + lo[e,a].
+
+    Replaces _mxu_transpose's 3 passes + the in-kernel _bf16_split VPU
+    work, and the bf16 HBM table halves the chunk DMA bytes and the pack
+    gather's table size (docs/PERFORMANCE.md round-4)."""
+    k = x.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, ATTR_W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, ATTR_W), 1)
+    sel = ((c % rows == r) & (c < 3 * rows)).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        sel, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def split3_bf16_table(vals: jax.Array) -> jax.Array:
+    """(N, rows) f32 -> (N, ATTR_W) bf16 3-plane table [hi|mid|lo|0pad]
+    consumed by ``_mxu_combine_transpose`` (exact f32 recovery)."""
+    n, rows = vals.shape
+    hi = vals.astype(jnp.bfloat16)
+    r1 = vals - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [hi, mid, lo, jnp.zeros((n, ATTR_W - 3 * rows), jnp.bfloat16)],
+        axis=1,
+    )
+
+
 def _tile_origin(tile_idx, tiles_x: int, block_width: int):
     """Top-left pixel of a tile as float scalars (tile-local coordinate
     shift; keeps quadratic basis terms small for f32)."""
@@ -213,16 +252,19 @@ def _chunk_alpha(chunk, basis, ox, oy, off, start, end):
     return a_eff, logm, valid, (x, y, ca, cb, cc, op, raw, alpha)
 
 
-def _cumsum_lanes(x, exact=False, terms=3):
-    """Inclusive cumsum along the lane axis (axis=1) via a lower-triangular
-    ones matmul on the MXU — Pallas TPU has no cumsum lowering, and a
-    (P,K)x(K,K) contraction is effectively free next to the alpha math.
-    ``exact`` marks x itself bf16-exact (e.g. 0/1 break events): one MXU
-    pass. ``terms=2`` (~2^-16) suits threshold-free summands."""
+def _cumsum_lanes(x, exact=False, terms=3, exclusive=False):
+    """Cumsum along the lane axis (axis=1) via a triangular ones matmul on
+    the MXU — Pallas TPU has no cumsum lowering, and a (P,K)x(K,K)
+    contraction is effectively free next to the alpha math. ``exact`` marks
+    x itself bf16-exact (e.g. 0/1 break events): one MXU pass. ``terms=2``
+    (~2^-16) suits threshold-free summands. ``exclusive`` uses the strictly
+    lower triangle (entry j sums entries < j): the EXCLUSIVE transmittance
+    prefix comes out directly, replacing a (P,K) VPU divide by 1 - alpha
+    with a multiply (docs/PERFORMANCE.md round-4)."""
     k = x.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = (row <= col).astype(jnp.float32)
+    tri = ((row < col) if exclusive else (row <= col)).astype(jnp.float32)
     return _mxu_dot(
         x, tri, (((1,), (0,)), ((), ())), a_exact=exact, b_exact=True,
         terms=terms,
@@ -239,13 +281,12 @@ def _keep(t_run, dead, a_eff, logm, valid):
     # 2-term split (~2^-16): the jax parity path computes transmittance by
     # a different algorithm (cumprod vs exp-sum-log) whose disagreement
     # already exceeds this, and T-threshold flips only gate contributions
-    # below the 1e-4 cutoff
-    cs = _cumsum_lanes(logm, terms=2)
-    # one exp instead of two: exp(cs - logm) = exp(cs) / (1 - a_eff), and
-    # a_eff <= 0.999 keeps the divisor >= 1e-3
-    e_cs = jnp.exp(cs)
-    t_incl = t_run * e_cs
-    t_prev = t_incl / (1.0 - a_eff)
+    # below the 1e-4 cutoff. The STRICT triangle gives the exclusive
+    # prefix directly: t_prev needs no (P,K) divide by 1 - a_eff (the
+    # divide measured ~2 VPU passes; t_incl is one multiply instead).
+    cs_ex = _cumsum_lanes(logm, terms=2, exclusive=True)
+    t_prev = t_run * jnp.exp(cs_ex)
+    t_incl = t_prev * (1.0 - a_eff)
     # The cumulative-or over in-chunk break events IS a plain threshold
     # test: t_incl never increases along lanes (logm <= 0) and only valid
     # entries decrease it, so "some entry at or before j broke" is exactly
@@ -392,11 +433,13 @@ def _fwd_kernel(
                 start_dma(i + 1, 1 - slot)
             wait_dma(i, slot)
             off = (b0 + i) * CHUNK
-            chunk = (
-                chunk_vmem[slot]
-                if attr_transposed
-                else _mxu_transpose(chunk_vmem[slot], rows)
-            )  # (rows, K)
+            if attr_transposed:
+                chunk = chunk_vmem[slot]
+            elif chunk_vmem.dtype == jnp.bfloat16:
+                chunk = _mxu_combine_transpose(chunk_vmem[slot], rows)
+            else:
+                chunk = _mxu_transpose(chunk_vmem[slot], rows)
+            # (rows, K) exact f32 in all three arrival modes
             if save_transposed:
                 @pl.when(i >= 2)
                 def _():
@@ -514,7 +557,7 @@ def composite_tiles_fwd(
         (2, attr_rows(ch), CHUNK) if transposed else (2, CHUNK, ATTR_W)
     )
     scratch = [
-        pltpu.VMEM(chunk_shape, jnp.float32),
+        pltpu.VMEM(chunk_shape, s_attr.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     out_specs = pl.BlockSpec(
@@ -698,11 +741,13 @@ def _bwd_tile(
             start_read(i + 1, 1 - slot)
         wait_read(i, slot)
         off = (b0 + i) * CHUNK
-        chunk = (
-            _mxu_transpose(chunk_vmem[slot], rows)
-            if attr_mode == "wide"
-            else chunk_vmem[slot]
-        )  # (rows, K)
+        if attr_mode != "wide":
+            chunk = chunk_vmem[slot]
+        elif chunk_vmem.dtype == jnp.bfloat16:
+            chunk = _mxu_combine_transpose(chunk_vmem[slot], rows)
+        else:
+            chunk = _mxu_transpose(chunk_vmem[slot], rows)
+        # (rows, K) exact f32 in all arrival modes
         a_eff, logm, valid, extras = _chunk_alpha(
             chunk, basis, ox, oy, off, start, end
         )
@@ -888,7 +933,7 @@ def composite_tiles_bwd(
             pltpu.VMEM(
                 (2, CHUNK, ATTR_W) if attr_mode == "wide"
                 else (2, rows, CHUNK),
-                jnp.float32,
+                s_attr.dtype,
             ),
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

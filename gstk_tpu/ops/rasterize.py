@@ -339,22 +339,34 @@ def _make_composite_pallas(
         the CHUNK rows of tail slack index an all-zero table row — the
         sentinel row is appended to each COLUMN before the concat (a
         trailing row-append on the assembled (N, 128) table lowers to a
-        full-table pad copy: 537 MB / 1.6 ms at 1M capacity)."""
+        full-table pad copy: 537 MB / 1.6 ms at 1M capacity).
+
+        When 3 * attr_rows(ch) fits the 128 lanes, the table is emitted
+        as a 3-plane bf16 split (raster_pallas.split3_bf16_table):
+        EXACTLY the same f32 values after the kernels' one-pass MXU
+        recombine, at HALF the gather-table and chunk-DMA bytes."""
         n = xys.shape[0]
+        rows = rp.attr_rows(ch)
         zrow = lambda c: jnp.zeros((1, c), jnp.float32)
-        base = jnp.concatenate(
-            [
-                jnp.concatenate([xys, zrow(2)], axis=0),
-                jnp.concatenate([conics, zrow(3)], axis=0),
-                jnp.concatenate([opacities[:, None], zrow(1)], axis=0),
-                jnp.concatenate([colors, zrow(colors.shape[1])], axis=0),
-                jnp.zeros((n + 1, rp.ATTR_W - used), jnp.float32),
-            ],
-            axis=1,
-        )  # (N + 1, ATTR_W)
+        cols = [
+            jnp.concatenate([xys, zrow(2)], axis=0),
+            jnp.concatenate([conics, zrow(3)], axis=0),
+            jnp.concatenate([opacities[:, None], zrow(1)], axis=0),
+            jnp.concatenate([colors, zrow(colors.shape[1])], axis=0),
+        ]
         gid_ext = jnp.concatenate(
             [sorted_gids, jnp.full((rp.CHUNK,), n, jnp.int32)]
         )
+        if 3 * rows <= rp.ATTR_W:
+            vals = jnp.concatenate(
+                cols + [jnp.zeros((n + 1, rows - used), jnp.float32)],
+                axis=1,
+            )  # (N + 1, rows)
+            return rp.split3_bf16_table(vals)[gid_ext]
+        base = jnp.concatenate(
+            cols + [jnp.zeros((n + 1, rp.ATTR_W - used), jnp.float32)],
+            axis=1,
+        )  # (N + 1, ATTR_W)
         return base[gid_ext]
 
     def pack_sorted_t(xys, conics, colors, opacities, sorted_gids):
