@@ -290,15 +290,18 @@ def _keep(t_run, dead, a_eff, logm, valid):
     # The cumulative-or over in-chunk break events IS a plain threshold
     # test: t_incl never increases along lanes (logm <= 0) and only valid
     # entries decrease it, so "some entry at or before j broke" is exactly
-    # "t_incl_j <= cutoff" — no in-chunk MXU scan needed (the former
-    # exact 0/1 cumsum pass), and an alive pixel always enters a chunk
-    # with t_run > cutoff (the breaking entry itself is never composited).
-    broke = jnp.where(t_incl <= _T_CUTOFF, 1.0, 0.0)
-    dead_incl = jnp.maximum(dead, broke)
-    keep = valid & (dead_incl < 0.5)
+    # "t_incl_j <= cutoff" — no in-chunk MXU scan needed, no (P,K)
+    # cumulative-max, and the chunk's break flag is just the LAST lane's
+    # threshold test (monotonicity again) — the former broke/dead_incl
+    # tensors and the (P,K)->(P,1) max-reduce were ~5 redundant VPU
+    # passes per chunk.
+    keep = valid & (t_incl > _T_CUTOFF) & (dead < 0.5)
     a_k = jnp.where(keep, a_eff, 0.0)
     log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
-    dead_next = jnp.maximum(dead, jnp.max(broke, axis=1, keepdims=True))
+    last = t_incl.shape[1] - 1
+    dead_next = jnp.maximum(
+        dead, jnp.where(t_incl[:, last:] <= _T_CUTOFF, 1.0, 0.0)
+    )
     return a_k, t_prev, log_dec, dead_next
 
 

@@ -152,7 +152,8 @@ def main():
             point2d_idxs=np.zeros(len(seen_by[j]), np.int64),
         )
         for j in range(len(sub))
-        if len(seen_by[j]) >= 2
+        if seen_by[j]  # images reference these ids; the aligner's
+        # min_n_visible filter handles the < 2-view ones itself
     }
 
     mono_dir = args.out / "depths_mono"
