@@ -118,6 +118,20 @@ def main():
         uu = fx * pc[:, 0] / zs + cx
         vv = -fy * pc[:, 1] / zs + cy
         vis = (zs > 0.05) & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        # Occlusion consistency (what COLMAP's track verification gives
+        # the real pipeline): keep only points whose SfM depth matches
+        # the surface actually seen at that pixel — frustum-only
+        # visibility pairs occluded points with the OCCLUDER's mono
+        # estimate and wrecks the affine fit (measured: 26% median
+        # scale error without this check, <1% with it).
+        gt_z = np.asarray(
+            Image.open(args.data / fr["depth_path"]), np.float64
+        ) * 1e-3
+        zi = gt_z[
+            np.clip(vv.astype(int), 0, h - 1),
+            np.clip(uu.astype(int), 0, w - 1),
+        ]
+        vis &= (zi > 0) & (np.abs(zs - zi) < 0.02 * np.maximum(zs, 1e-6))
         idx = np.flatnonzero(vis)
         idx = rng.choice(
             idx, min(args.points_per_image, idx.size), replace=False
@@ -128,11 +142,26 @@ def main():
         flip = np.diag([1.0, -1.0, -1.0])
         r_cv = flip @ r_w2c
         t_cv = flip @ t_w2c
-        tr = np.trace(r_cv)
-        qw = np.sqrt(max(0.0, 1 + tr)) / 2
-        qx = (r_cv[2, 1] - r_cv[1, 2]) / (4 * qw)
-        qy = (r_cv[0, 2] - r_cv[2, 0]) / (4 * qw)
-        qz = (r_cv[1, 0] - r_cv[0, 1]) / (4 * qw)
+        # branch-robust matrix -> quaternion (the naive trace formula
+        # divides by qw, which vanishes for 180-degree rotations)
+        m = r_cv
+        tr = np.trace(m)
+        if tr > 0:
+            s = 2 * np.sqrt(1 + tr)
+            qw, qx, qy, qz = (
+                s / 4, (m[2, 1] - m[1, 2]) / s,
+                (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s,
+            )
+        else:
+            ax = int(np.argmax(np.diag(m)))
+            bx, cx_ = (ax + 1) % 3, (ax + 2) % 3
+            s = 2 * np.sqrt(max(1e-12, 1 + m[ax, ax] - m[bx, bx] - m[cx_, cx_]))
+            q = np.zeros(4)
+            q[1 + ax] = s / 4
+            q[0] = (m[cx_, bx] - m[bx, cx_]) / s
+            q[1 + bx] = (m[bx, ax] + m[ax, bx]) / s
+            q[1 + cx_] = (m[cx_, ax] + m[ax, cx_]) / s
+            qw, qx, qy, qz = q
         images[i] = ColmapImage(
             image_id=i,
             qvec=np.array([qw, qx, qy, qz]),
