@@ -179,16 +179,43 @@ def _mxu_combine_transpose(x, rows: int):
     )
 
 
+def _trunc_to_bf16_f32(x):
+    """f32 value with the low 16 mantissa bits cleared (== the f32 value
+    of truncate-to-bf16). Computed by BITMASKING, not convert round-trips:
+    XLA runs with --xla_allow_excess_precision and ELIDES
+    ``convert_f32(convert_bf16(x))`` chains under jit, which silently
+    zeroed the mid/lo planes (hardware parity caught it: 58% of pixels
+    off by ~2^-9 — hi-plane-only accuracy). Bit ops cannot be
+    "simplified" away."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-65536)), jnp.float32
+    )
+
+
 def split3_bf16_table(vals: jax.Array) -> jax.Array:
     """(N, rows) f32 -> (N, ATTR_W) bf16 3-plane table [hi|mid|lo|0pad]
-    consumed by ``_mxu_combine_transpose`` (exact f32 recovery)."""
+    consumed by ``_mxu_combine_transpose``.
+
+    Truncating (not rounding) splits: each residual is exactly
+    representable and shrinks by 2^-8, so hi+mid+lo reproduces the f32
+    value to <= ~1 f32 ulp (2^-24 rel) with EXACT f32 partial sums, and
+    each ``.astype(bfloat16)`` below converts an already-truncated value
+    (no rounding, nothing for the excess-precision simplifier to
+    elide)."""
     n, rows = vals.shape
-    hi = vals.astype(jnp.bfloat16)
-    r1 = vals - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    h1 = _trunc_to_bf16_f32(vals)
+    r1 = vals - h1
+    h2 = _trunc_to_bf16_f32(r1)
+    r2 = r1 - h2
+    h3 = _trunc_to_bf16_f32(r2)
     return jnp.concatenate(
-        [hi, mid, lo, jnp.zeros((n, ATTR_W - 3 * rows), jnp.bfloat16)],
+        [
+            h1.astype(jnp.bfloat16),
+            h2.astype(jnp.bfloat16),
+            h3.astype(jnp.bfloat16),
+            jnp.zeros((n, ATTR_W - 3 * rows), jnp.bfloat16),
+        ],
         axis=1,
     )
 

@@ -41,6 +41,9 @@ from gstk_tpu.ops.binning import bin_gaussians
 
 _ALPHA_CLAMP = 0.999
 _ALPHA_CUTOFF = 1.0 / 255.0
+# Wide-layout pack emits the half-byte 3-plane bf16 table (exact f32
+# recovery in-kernel). Module-level toggle for A/B debugging on hardware.
+_BF16_WIDE_PACK = True
 _T_CUTOFF = 1e-4
 
 
@@ -357,7 +360,7 @@ def _make_composite_pallas(
         gid_ext = jnp.concatenate(
             [sorted_gids, jnp.full((rp.CHUNK,), n, jnp.int32)]
         )
-        if 3 * rows <= rp.ATTR_W:
+        if _BF16_WIDE_PACK and 3 * rows <= rp.ATTR_W:
             vals = jnp.concatenate(
                 cols + [jnp.zeros((n + 1, rows - used), jnp.float32)],
                 axis=1,
