@@ -325,9 +325,12 @@ def _keep(t_run, dead, a_eff, logm, valid):
     keep = valid & (t_incl > _T_CUTOFF) & (dead < 0.5)
     a_k = jnp.where(keep, a_eff, 0.0)
     log_dec = jnp.sum(jnp.where(keep, logm, 0.0), axis=1, keepdims=True)
-    last = t_incl.shape[1] - 1
+    # min over lanes == the last lane under monotonicity, but a native
+    # lane reduction; a [:, -1:] lane SLICE is a cross-lane relayout
+    # (~0.3 us/op, tools/ablate_fwd.py) and measured slower
+    t_min = jnp.min(t_incl, axis=1, keepdims=True)
     dead_next = jnp.maximum(
-        dead, jnp.where(t_incl[:, last:] <= _T_CUTOFF, 1.0, 0.0)
+        dead, jnp.where(t_min <= _T_CUTOFF, 1.0, 0.0)
     )
     return a_k, t_prev, log_dec, dead_next
 

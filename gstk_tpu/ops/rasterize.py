@@ -44,6 +44,8 @@ _ALPHA_CUTOFF = 1.0 / 255.0
 # Wide-layout pack emits the half-byte 3-plane bf16 table (exact f32
 # recovery in-kernel). Module-level toggle for A/B debugging on hardware.
 _BF16_WIDE_PACK = True
+# fwd->bwd saved-transpose handoff (see _forward); A/B toggle.
+_T_HANDOFF = True
 _T_CUTOFF = 1e-4
 
 
@@ -412,7 +414,11 @@ def _make_composite_pallas(
         # Grad-mode wide-layout forward saves its arrival transposes so
         # the bwd kernel skips its per-chunk MXU transpose (raster_pallas
         # save_transposed docs); render-only calls skip the extra output.
-        save = save_transposed and layout == "wide"
+        # With the bf16 3-plane table the bwd re-combine is ONE MXU pass,
+        # so the handoff trades an 8 KB/chunk fwd write stream (+DMA
+        # waits +a cap-sized HBM buffer) against a 24 KB/chunk larger
+        # bwd read + that pass — _T_HANDOFF picks the measured winner.
+        save = save_transposed and layout == "wide" and _T_HANDOFF
         out = rp.composite_tiles_fwd(
             attr, tile_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret, save_transposed=save,

@@ -75,11 +75,108 @@ def build_variant(rp, variant, tiles_x, block_width, ch, num_tiles, tpc):
             )
             start_dma, wait_dma = make_dma(b0)
 
-            @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
-            def _():
-                start_dma(0, 0)
+            if variant != "pair":
+                @pl.when(jnp.logical_and(t == 0, n_chunks > 0))
+                def _():
+                    start_dma(0, 0)
 
-            if variant.startswith("marg_"):
+            if variant == "pair":
+                # Two chunks per iteration, 4 DMA slots: the per-chunk
+                # cost is hypothesized to be the SERIAL MXU<->VPU
+                # dependency chain (marginal barely moved when DMA bytes
+                # halved and ~7 VPU passes were removed, round 4); a pair
+                # body gives Mosaic two independent chains to interleave,
+                # serialized only through the tiny t_run/dead coupling.
+                # Timing-only (assumes even chunk counts; T=128/C=16 row
+                # is the meaningful one).
+                def alpha_of(chunk, off):
+                    x = chunk[0:1, :] - ox
+                    y = chunk[1:2, :] - oy
+                    ca, cb, cc = chunk[2:3, :], chunk[3:4, :], chunk[4:5, :]
+                    op = chunk[5:6, :]
+                    c0 = 0.5 * (ca * x * x + cc * y * y) + cb * x * y
+                    c1 = -(ca * x + cb * y)
+                    c2 = -(cc * y + cb * x)
+                    coeffs = jnp.concatenate(
+                        [c0, c1, c2, 0.5 * ca, 0.5 * cc, cb], axis=0
+                    )
+                    sigma = rp._mxu_dot(
+                        basis, coeffs, (((1,), (0,)), ((), ())), a_exact=True
+                    )
+                    raw = op * jnp.exp(-sigma)
+                    alpha = jnp.minimum(raw, 0.999)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, rp.CHUNK), 1)
+                    in_range = ((off + lane) >= start) & ((off + lane) < end)
+                    valid = (sigma >= 0.0) & (alpha >= 1.0 / 255.0) & in_range
+                    a_eff = jnp.where(valid, alpha, 0.0)
+                    logm = jnp.log1p(-a_eff)
+                    cs_ex = rp._cumsum_lanes(logm, terms=2, exclusive=True)
+                    return a_eff, logm, cs_ex, chunk[6 : 6 + ch, :]
+
+                def half(t_run, dead, acc, a_eff, logm, cs_ex, colors):
+                    t_prev = t_run * jnp.exp(cs_ex)
+                    t_incl = t_prev * (1.0 - a_eff)
+                    keep = (a_eff > 0.0) & (t_incl > 1e-4) & (dead < 0.5)
+                    a_k = jnp.where(keep, a_eff, 0.0)
+                    ld = jnp.sum(
+                        jnp.where(keep, logm, 0.0), axis=1, keepdims=True
+                    )
+                    t_min = jnp.min(t_incl, axis=1, keepdims=True)
+                    dead = jnp.maximum(
+                        dead, jnp.where(t_min <= 1e-4, 1.0, 0.0)
+                    )
+                    w = t_prev * a_k
+                    acc = acc + rp._mxu_dot(
+                        colors, w, (((1,), (1,)), ((), ()))
+                    )
+                    return t_run * jnp.exp(ld), dead, acc
+
+                def body(k, c):
+                    t_run, dead, acc = c
+                    i0 = 2 * k
+                    i1 = 2 * k + 1
+                    s0 = jax.lax.rem(i0, 4)
+                    s1 = jax.lax.rem(i1, 4)
+
+                    @pl.when(i0 + 2 < n_chunks)
+                    def _():
+                        start_dma(i0 + 2, jax.lax.rem(i0 + 2, 4))
+
+                    @pl.when(i1 + 2 < n_chunks)
+                    def _():
+                        start_dma(i1 + 2, jax.lax.rem(i1 + 2, 4))
+                    wait_dma(i0, s0)
+                    wait_dma(i1, s1)
+                    chA = rp._mxu_transpose(chunk_vmem[s0], rows)
+                    chB = rp._mxu_transpose(chunk_vmem[s1], rows)
+                    pA = alpha_of(chA, (b0 + i0) * CHUNK)
+                    pB = alpha_of(chB, (b0 + i1) * CHUNK)
+                    t_run, dead, acc = half(t_run, dead, acc, *pA)
+                    t_run, dead, acc = half(t_run, dead, acc, *pB)
+                    return t_run, dead, acc
+
+                # cold-start chunks 0,1; each body iteration prefetches
+                # the next pair (distance-4 slot reuse, same discipline
+                # as the production kernel's distance-2)
+                for sl in range(2):
+                    @pl.when(sl < n_chunks)
+                    def _(sl=sl):
+                        start_dma(sl, sl)
+                acc0 = jnp.zeros((ch, p), jnp.float32)
+                t0 = jnp.ones((p, 1), jnp.float32)
+                dead0 = jnp.zeros((p, 1), jnp.float32)
+                t_final, _, acc = jax.lax.fori_loop(
+                    0, n_chunks // 2, body, (t0, dead0, acc0)
+                )
+                # drain the odd tail's issued-but-unprocessed DMA (probe
+                # measures even-chunk tiles; C=1 row is DMA+loop only)
+                @pl.when(jax.lax.rem(n_chunks, 2) == 1)
+                def _():
+                    i = n_chunks - 1
+                    wait_dma(i, jax.lax.rem(i, 4))
+                out_ref[sub, 0:ch, :] = acc
+                out_ref[sub, ch : ch + 1, :] = jnp.zeros((1, p), jnp.float32)
+            elif variant.startswith("marg_"):
                 # Marginal-cost attribution: remove ONE in-body component
                 # (outputs become wrong — timing only). marg_full keeps
                 # everything and differs from "full" only in sharing this
@@ -253,17 +350,18 @@ def build_variant(rp, variant, tiles_x, block_width, ch, num_tiles, tpc):
                         (out_ref.shape[1] - ch - 1, p), jnp.float32
                     )
 
-            # next-tile chunk-0 handoff (all variants)
-            nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_tiles - 2)]
-            nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_tiles - 1)]
+            # next-tile chunk-0 handoff (pair cold-starts its own slots)
+            if variant != "pair":
+                nstart = bins_ref[jnp.minimum(2 * (t + 1), 2 * num_tiles - 2)]
+                nend = bins_ref[jnp.minimum(2 * (t + 1) + 1, 2 * num_tiles - 1)]
 
-            @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
-            def _():
-                noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
-                pltpu.make_async_copy(
-                    attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0],
-                    sem.at[0],
-                ).start()
+                @pl.when(jnp.logical_and(t + 1 < num_tiles, nend > nstart))
+                def _():
+                    noff = pl.multiple_of((nstart // CHUNK) * CHUNK, CHUNK)
+                    pltpu.make_async_copy(
+                        attr_ref.at[pl.ds(noff, CHUNK)], chunk_vmem.at[0],
+                        sem.at[0],
+                    ).start()
 
             if variant == "noreshape":
                 out_ref[sub, ch : ch + 1, :] = jnp.zeros((1, p), jnp.float32)
@@ -318,8 +416,11 @@ def run_variant(rp, variant, attr_j, bins_j, tiles, ch, iters):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rp.CHUNK, rp.ATTR_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(
+                (4 if variant == "pair" else 2, rp.CHUNK, rp.ATTR_W),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((4 if variant == "pair" else 2,)),
         ],
     )
     fn = jax.jit(lambda a, b: pl.pallas_call(
@@ -395,6 +496,9 @@ def main():
             variants = ("marg_none", "marg_transpose", "marg_sigmadot",
                         "marg_exp", "marg_log1p", "marg_cumsum",
                         "marg_contrib")
+        if os.environ.get("ABLATE_PAIR"):
+            # chunk-pair software pipelining probe (timing only)
+            variants = ("marg_none", "pair")
         for variant in variants:
             ms, acc = run_variant(
                 rp, variant, attr_j, bins_j, tiles, ch, iters

@@ -56,16 +56,20 @@ def main():
     rng = np.random.default_rng(0)
     n_out = 1 << 20
 
-    cases = []
-    for logr in (17, 18, 19, 20):
-        cases.append((1 << logr, 128, np.float32, "uniform"))
-    for w in (16, 32, 64):
-        cases.append((1 << 20, w, np.float32, "uniform"))
-    cases.append((1 << 20, 128, np.dtype(jnp.bfloat16), "uniform"))
-    cases.append((1 << 20, 128, np.int8, "uniform"))
-    cases.append((1 << 17, 128, np.dtype(jnp.bfloat16), "uniform"))
-    cases.append((1 << 20, 128, np.float32, "monotonic"))
-    cases.append((1 << 18, 128, np.float32, "monotonic"))
+    if len(sys.argv) > 1:
+        # cliff search: pass explicit row counts (128-lane f32, uniform)
+        cases = [(int(r), 128, np.float32, "uniform") for r in sys.argv[1:]]
+    else:
+        cases = []
+        for logr in (17, 18, 19, 20):
+            cases.append((1 << logr, 128, np.float32, "uniform"))
+        for w in (16, 32, 64):
+            cases.append((1 << 20, w, np.float32, "uniform"))
+        cases.append((1 << 20, 128, np.dtype(jnp.bfloat16), "uniform"))
+        cases.append((1 << 20, 128, np.int8, "uniform"))
+        cases.append((1 << 17, 128, np.dtype(jnp.bfloat16), "uniform"))
+        cases.append((1 << 20, 128, np.float32, "monotonic"))
+        cases.append((1 << 18, 128, np.float32, "monotonic"))
 
     print(f"{'rows':>9s} {'w':>4s} {'dtype':>9s} {'MB':>7s} {'idx':>10s} "
           f"{'ms':>8s} {'ns/row':>7s}")

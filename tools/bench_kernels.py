@@ -88,7 +88,14 @@ def sweep(iters: int):
              (np.arange(t_tiles) + 1) * c_per_tile * 128], axis=-1
         ).astype(np.int32)
         tiles = (t_tiles, 1)
-        attr_j = jnp.asarray(attr)
+        # production wide path is the bf16 3-plane table (BENCH_BF16=0
+        # reverts to the f32 layout for A/B)
+        if os.environ.get("BENCH_BF16", "1") == "1":
+            attr_j = jax.jit(rp.split3_bf16_table)(
+                jnp.asarray(attr[:, : rp.attr_rows(ch)])
+            )
+        else:
+            attr_j = jnp.asarray(attr)
         bins_j = jnp.asarray(bins)
         fwd = lambda a, b: rp.composite_tiles_fwd(a, b, tiles, 16, ch=ch)
         packed = jax.block_until_ready(fwd(attr_j, bins_j))
