@@ -32,6 +32,11 @@ def main():
         "--parse-only", action="store_true",
         help="skip the TPU run; parse the newest xplane in --trace-dir",
     )
+    ap.add_argument(
+        "--render", action="store_true",
+        help="profile the forward-only render path (tools/bench_render.py "
+        "operating point) instead of the train step",
+    )
     args = ap.parse_args()
     if args.parse_only:
         return parse_trace(args)
@@ -74,26 +79,47 @@ def main():
         c2w=jnp.asarray(c2w),
     )
     raster_cfg = RasterizeConfig(chunk_size=32, isect_capacity=isect_capacity)
-    step_fn = jax.jit(
-        make_train_step(
-            VanillaConfig(sh_degree=3, background_color="black"),
-            raster_cfg, OptimizerConfig(), img_h, img_w, sh_degree=3,
+    if args.render:
+        from gstk_tpu.models.vanilla import render_scene
+
+        render_fn = jax.jit(lambda s, c: render_scene(
+            s, c, img_h, img_w, sh_degree=3, background=jnp.zeros(3),
+            config=VanillaConfig(sh_degree=3), raster_config=raster_cfg,
+        ))
+
+        def run_once(_key):
+            return render_fn(scene, camera)
+
+        done = lambda out: out["rgb"]
+    else:
+        step_fn = jax.jit(
+            make_train_step(
+                VanillaConfig(sh_degree=3, background_color="black"),
+                raster_cfg, OptimizerConfig(), img_h, img_w, sh_degree=3,
+            )
         )
-    )
-    state = init_train_state(scene)
-    gt = jnp.asarray(rng.uniform(0, 1, (img_h, img_w, 3)).astype(np.float32))
+        state = init_train_state(scene)
+        gt = jnp.asarray(
+            rng.uniform(0, 1, (img_h, img_w, 3)).astype(np.float32)
+        )
+
+        def run_once(key):
+            nonlocal state
+            state, metrics = step_fn(state, camera, gt, key)
+            return metrics
+
+        done = lambda out: out["loss"]
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    state, metrics = step_fn(state, camera, gt, key)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(done(run_once(key)))
     print(f"compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
     keys = [k for k in jax.random.split(key, args.steps)]
     jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, metrics = step_fn(state, camera, gt, keys[i])
-    jax.block_until_ready(metrics["loss"])
+        out = run_once(keys[i])
+    jax.block_until_ready(done(out))
     dt = (time.perf_counter() - t0) / args.steps
     print(f"steady-state step: {dt*1e3:.2f} ms "
           f"({img_h*img_w/dt/1e6:.2f}M rays/s)")
@@ -101,8 +127,8 @@ def main():
     os.makedirs(args.trace_dir, exist_ok=True)
     with jax.profiler.trace(args.trace_dir):
         for i in range(args.steps):
-            state, metrics = step_fn(state, camera, gt, keys[i])
-        jax.block_until_ready(metrics["loss"])
+            out = run_once(keys[i])
+        jax.block_until_ready(done(out))
     parse_trace(args)
 
 
