@@ -42,13 +42,39 @@ def _band_matrix(n: int, win: np.ndarray) -> np.ndarray:
     return out
 
 
-def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
-    """Depthwise separable valid-mode filtering via banded matmuls.
-    img (H, W, C).
+# SSIM filter backend: "matmul" = dense banded MXU contractions (spends
+# ~win_size/1 extra FLOPs but rides the MXU in 2 big ops); "taps" = VPU
+# shifted-slice weighted sums (exact FLOP count, one fusion per axis).
+# Hardware A/B toggle — see docs/PERFORMANCE.md.
+_SSIM_FILTER = "matmul"
 
-    Precision HIGH (3-pass bf16 split, ~2^-21) not HIGHEST (6-pass):
-    images live in [0, 1] and SSIM's constants (c1=1e-4) sit far above
-    the split residual, so the extra 3 passes bought nothing but time."""
+
+def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
+    """Depthwise separable valid-mode filtering. img (H, W, C).
+
+    matmul backend: banded (H,W)@(W,V) contractions at precision HIGH
+    (3-pass bf16 split, ~2^-21) not HIGHEST (6-pass): images live in
+    [0, 1] and SSIM's constants (c1=1e-4) sit far above the split
+    residual, so the extra 3 passes bought nothing but time.
+
+    taps backend: the band matrix is 11 diagonals — the dense contraction
+    wastes W/11 ~ 73x FLOPs. A valid-mode tap sum is ``sum_k win[k] *
+    img[:, k:k+V]``: static slices of one buffer, which XLA fuses into a
+    single VPU loop per axis with no relayouts (the failure mode that
+    motivated the matmul form was per-channel-group fusion overhead, not
+    slicing)."""
+    if _SSIM_FILTER == "taps":
+        size = win.shape[0]
+        v = img.shape[1] - size + 1
+        x = sum(
+            float(win[k]) * jax.lax.slice_in_dim(img, k, k + v, axis=1)
+            for k in range(size)
+        )
+        u = x.shape[0] - size + 1
+        return sum(
+            float(win[k]) * jax.lax.slice_in_dim(x, k, k + u, axis=0)
+            for k in range(size)
+        )
     h, w = img.shape[0], img.shape[1]
     bw = jnp.asarray(_band_matrix(w, win))
     bh = jnp.asarray(_band_matrix(h, win))
