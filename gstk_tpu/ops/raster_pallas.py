@@ -90,7 +90,9 @@ def _mxu_dot(a, b, dims, a_exact=False, b_exact=False, terms=3):
         x.astype(bf), y.astype(bf), dims,
         preferred_element_type=jnp.float32,
     )
-    if a_exact and b_exact:
+    if (a_exact and b_exact) or terms == 1:
+        # terms == 1: single DEFAULT-precision pass (~2^-9 rel) — the
+        # render-only "fast" kernel mode (never used in training).
         return d(a, b)
     if a_exact:
         parts = _bf16_split(b, terms)
@@ -245,7 +247,27 @@ def _pixel_basis(block_width: int):
     ), px, py
 
 
-def _chunk_alpha(chunk, basis, ox, oy, off, start, end):
+# Forward-kernel precision modes: per-chunk MXU pass counts for the three
+# split-accuracy dots (sigma basis contraction, transmittance cumsum, color
+# accumulation). "exact" is the training path (hardware image+grad parity
+# with the jax reference path); "high" (~2^-16 sigma, ~2^-9 color — below
+# 8-bit output quantization) and "fast" (single-pass bf16 everywhere) are
+# render-only modes for viewer/offline throughput. Render-only because the
+# backward kernel always recomputes at exact precision — a mixed fwd/bwd
+# would break the VJP's recompute contract.
+_PRECISION_TERMS = {
+    "exact": (3, 2, 3),  # (sigma_terms, cumsum_terms, color_terms)
+    "high": (2, 2, 1),
+    "fast": (2, 1, 1),
+    # sigma_terms=1 was measured unusable (worst pixel 0.25): sigma's
+    # constant coefficient reaches ~5, so a plain-bf16 basis contraction
+    # carries ~2^-9*5 absolute sigma error -> ~5% alpha error near
+    # opaque entries. terms=2 collapses both modes to max ~1e-2 /
+    # mean ~4e-4 deviation (threshold-flip bounded), at 2 MXU passes.
+}
+
+
+def _chunk_alpha(chunk, basis, ox, oy, off, start, end, sigma_terms=3):
     """Alpha/validity for one attr-major (rows, CHUNK) chunk.
 
     Returns (a_eff (P,K), logm (P,K), valid, extras for bwd). Entry centers
@@ -266,7 +288,8 @@ def _chunk_alpha(chunk, basis, ox, oy, off, start, end):
         [c0, c1, c2, 0.5 * ca, 0.5 * cc, cb], axis=0
     )  # (6, K)
     sigma = _mxu_dot(
-        basis, coeffs, (((1,), (0,)), ((), ())), a_exact=True
+        basis, coeffs, (((1,), (0,)), ((), ())), a_exact=True,
+        terms=sigma_terms,
     )  # (P, K)
     exp_neg = jnp.exp(-sigma)
     raw = op * exp_neg
@@ -298,7 +321,7 @@ def _cumsum_lanes(x, exact=False, terms=3, exclusive=False):
     )
 
 
-def _keep(t_run, dead, a_eff, logm, valid):
+def _keep(t_run, dead, a_eff, logm, valid, cumsum_terms=2):
     """Break-semantics masking with a persistent per-pixel break flag.
 
     Returns (a_k, t_prev, log prod(1-a_k), dead_next). The CUDA loop breaks
@@ -311,7 +334,7 @@ def _keep(t_run, dead, a_eff, logm, valid):
     # below the 1e-4 cutoff. The STRICT triangle gives the exclusive
     # prefix directly: t_prev needs no (P,K) divide by 1 - a_eff (the
     # divide measured ~2 VPU passes; t_incl is one multiply instead).
-    cs_ex = _cumsum_lanes(logm, terms=2, exclusive=True)
+    cs_ex = _cumsum_lanes(logm, terms=cumsum_terms, exclusive=True)
     t_prev = t_run * jnp.exp(cs_ex)
     t_incl = t_prev * (1.0 - a_eff)
     # The cumulative-or over in-chunk break events IS a plain threshold
@@ -388,11 +411,13 @@ def _fwd_kernel(
     tiles_x: int, block_width: int, ch: int, num_tiles: int,
     tiles_per_call: int = 1, persistent_prefetch: bool = True,
     attr_transposed: bool = False, save_transposed: bool = False,
+    precision: str = "exact",
 ):
     if save_transposed:
         tout_ref, chunk_vmem, sem, tbuf, wsem = rest
     else:
         chunk_vmem, sem = rest
+    sigma_terms, cumsum_terms, color_terms = _PRECISION_TERMS[precision]
     base = pl.program_id(0) * tiles_per_call
     basis, _, _ = _pixel_basis(block_width)
     p = block_width * block_width
@@ -480,15 +505,17 @@ def _fwd_kernel(
                 tbuf[slot] = chunk
                 start_write(i, slot)
             a_eff, logm, valid, _ = _chunk_alpha(
-                chunk, basis, ox, oy, off, start, end
+                chunk, basis, ox, oy, off, start, end,
+                sigma_terms=sigma_terms,
             )
             a_k, t_prev, log_dec, dead = _keep(
-                t_run, dead, a_eff, logm, valid
+                t_run, dead, a_eff, logm, valid,
+                cumsum_terms=cumsum_terms,
             )
             w = t_prev * a_k  # (P, K)
             colors = chunk[6 : 6 + ch, :]  # (ch, K)
             contrib = _mxu_dot(
-                colors, w, (((1,), (1,)), ((), ()))
+                colors, w, (((1,), (1,)), ((), ())), terms=color_terms
             )  # (ch, P)
             out_ref[sub, 0:ch, :] += contrib
             return i + 1, t_run * jnp.exp(log_dec), dead
@@ -550,7 +577,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_bounds", "block_width", "ch", "interpret", "save_transposed"
+        "tile_bounds", "block_width", "ch", "interpret", "save_transposed",
+        "precision",
     ),
 )
 def composite_tiles_fwd(
@@ -561,6 +589,7 @@ def composite_tiles_fwd(
     ch: int = 4,
     interpret: bool = False,
     save_transposed: bool = False,
+    precision: str = "exact",
 ):
     """Returns (T, out_rows(ch), P) packed [colors rows, final_t row];
     with ``save_transposed`` also the (nb, rows, CHUNK) arrival
@@ -584,7 +613,7 @@ def composite_tiles_fwd(
         _fwd_kernel, tiles_x=tile_bounds[0], block_width=block_width, ch=ch,
         num_tiles=num_tiles, tiles_per_call=tpc,
         persistent_prefetch=not interpret, attr_transposed=transposed,
-        save_transposed=save_transposed,
+        save_transposed=save_transposed, precision=precision,
     )
     chunk_shape = (
         (2, attr_rows(ch), CHUNK) if transposed else (2, CHUNK, ATTR_W)

@@ -74,6 +74,14 @@ class RasterizeConfig:
     # scene splits into bands instead of growing one giant sort. 0 = auto
     # (one band per ~640k pixels). Gradients sum across bands by linearity.
     bands: int = 1
+    # Forward-kernel precision (Pallas path only). "exact" reproduces the
+    # jax path bit-for-threshold (training default, hardware-parity
+    # gated). "high" (~2^-16 alpha, ~2^-9 color — below 8-bit output
+    # quantization) and "fast" (single-pass bf16 dots) trade per-chunk
+    # MXU passes for render throughput; RENDER-ONLY — differentiating a
+    # non-exact rasterize raises (the backward recompute is always
+    # exact, so mixed precision would corrupt gradients).
+    kernel_precision: str = "exact"
     # Attribute table layout for the Pallas path. "wide": entry-major
     # (cap, 128) rows — the pack gather is bandwidth-bound while the
     # per-Gaussian table stays cache-resident. "transposed": attr-major
@@ -315,7 +323,7 @@ from gstk_tpu.ops.binning import _segment_constant  # noqa: E402 (shared)
 
 def _make_composite_pallas(
     tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool,
-    attr_layout: str = "auto",
+    attr_layout: str = "auto", kernel_precision: str = "exact",
 ):
     """Pallas-kernel-backed compositing with the same custom-VJP contract as
     the pure-JAX path.
@@ -422,6 +430,7 @@ def _make_composite_pallas(
         out = rp.composite_tiles_fwd(
             attr, tile_bins, tile_bounds, block_width, ch=ch,
             interpret=interpret, save_transposed=save,
+            precision=kernel_precision,
         )
         packed, t_attr = out if save else (out, None)
         acc = packed[:, 0:ch, :].transpose(0, 2, 1)
@@ -442,6 +451,14 @@ def _make_composite_pallas(
         xys, conics, colors, opacities, sorted_gids, pos_sorted,
         tile_bins, counts,
     ):
+        if kernel_precision != "exact":
+            raise ValueError(
+                "kernel_precision="
+                f"{kernel_precision!r} is render-only: the backward "
+                "recompute runs at exact precision, so differentiating a "
+                "non-exact forward would corrupt gradients. Use "
+                "kernel_precision='exact' for training."
+            )
         acc, final_t, attr, _, packed, t_attr = _forward(
             xys, conics, colors, opacities, sorted_gids, tile_bins,
             save_transposed=True,
@@ -722,6 +739,7 @@ def _rasterize_band(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
             attr_layout=config.attr_layout,
+            kernel_precision=config.kernel_precision,
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,

@@ -5,6 +5,8 @@ semantics as the reference CUDA kernel (alpha clamp 0.999, 1/255 cutoff,
 T<=1e-4 break), checked image-allclose and gradient-allclose.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -241,3 +243,45 @@ def test_nd_channels_fall_back_to_jax_path(rng):
     assert img.shape == (32, 48, 10)
     assert np.all(np.isfinite(np.asarray(img)))
     assert float(jnp.max(alpha)) > 0.1
+
+
+@pytest.mark.parametrize(
+    "precision,max_tol,mean_tol", [("high", 2e-2, 1e-3), ("fast", 2e-2, 1e-3)]
+)
+def test_render_precision_modes(rng, precision, max_tol, mean_tol):
+    """Render-only kernel precision modes stay close to exact. Worst-pixel
+    deviation is dominated by benign 1/255-cutoff inclusion flips (the
+    flipped entry contributes <= alpha_cutoff * weight); MEAN deviation is
+    the quality metric and stays below 8-bit output quantization."""
+    cam, proj, colors, opacities = _setup(rng)
+    args = (
+        proj.xys, proj.depths, proj.radii, proj.conics, proj.num_tiles_hit,
+        jnp.asarray(colors), jnp.asarray(opacities),
+    )
+    kw = dict(img_height=cam["img_h"], img_width=cam["img_w"])
+    base = RasterizeConfig(isect_capacity=1 << 13, backend="pallas_interpret")
+    img0, a0 = rasterize(*args, **kw, config=base)
+    cfg = dataclasses.replace(base, kernel_precision=precision)
+    img1, a1 = rasterize(*args, **kw, config=cfg)
+    assert float(jnp.max(jnp.abs(img1 - img0))) < max_tol
+    assert float(jnp.mean(jnp.abs(img1 - img0))) < mean_tol
+    assert float(jnp.mean(jnp.abs(a1 - a0))) < mean_tol
+
+
+def test_nonexact_precision_refuses_grad(rng):
+    cam, proj, colors, opacities = _setup(rng)
+    cfg = RasterizeConfig(
+        isect_capacity=1 << 13, backend="pallas_interpret",
+        kernel_precision="fast",
+    )
+
+    def loss(op):
+        img, _ = rasterize(
+            proj.xys, proj.depths, proj.radii, proj.conics,
+            proj.num_tiles_hit, jnp.asarray(colors), op,
+            img_height=cam["img_h"], img_width=cam["img_w"], config=cfg,
+        )
+        return jnp.sum(img)
+
+    with pytest.raises(ValueError, match="render-only"):
+        jax.grad(loss)(jnp.asarray(opacities))

@@ -22,7 +22,10 @@ proj = project_gaussians(
     jnp.asarray(cam["viewmat"]), jnp.asarray(cam["fullmat"]),
     cam["fx"], cam["fy"], cam["cx"], cam["cy"], H, W)
 total = int(np.asarray(jnp.sum(proj.num_tiles_hit)))
-cfg = RasterizeConfig(isect_capacity=1 << 20, backend="pallas", bands=0)
+import os
+prec = os.environ.get("BENCH_PRECISION", "exact")
+cfg = RasterizeConfig(isect_capacity=1 << 20, backend="pallas", bands=0,
+                      kernel_precision=prec)
 fn = jax.jit(lambda *a: rasterize(
     *a, img_height=H, img_width=W, background=jnp.zeros(4),
     config=cfg, return_info=True))
@@ -37,6 +40,6 @@ for _ in range(iters):
     img, alpha, info = fn(*args)
 jax.block_until_ready(img)
 dt = (time.perf_counter() - t0) / iters
-print(f"4K ({W}x{H}) banded render: total isects {total}, per-band max "
+print(f"4K ({W}x{H}) banded render [{prec}]: total isects {total}, per-band max "
       f"{int(info['num_intersects'])}, {dt*1e3:.1f} ms/frame = "
       f"{1/dt:.1f} fps = {W*H/dt/1e6:.1f} M rays/s")
