@@ -131,6 +131,32 @@ def _round_up_bucket(n: int) -> int:
     return -(-n // q) * q
 
 
+def _quantize_cache_images(imgs_np: np.ndarray) -> jax.Array:
+    """Device GT cache as uint8 when LOSSLESS (4x less HBM).
+
+    GT images almost always come from 8-bit sources (PNG/JPG -> loader
+    /255); re-quantizing is then bit-exact and the full-split cache drops
+    from e.g. 1.55 GB to 390 MB at 210x800x800 — the margin that let the
+    2^21-capacity step compile on a 16 GB chip (a 2M-Gaussian compile
+    OOM'd by 372 MB with the f32 cache). Float sources that are not exact
+    8-bit multiples (EXR/HDR) keep f32."""
+    if imgs_np.dtype == np.float32:
+        q = np.rint(imgs_np * 255.0)
+        if (
+            q.min() >= 0 and q.max() <= 255
+            and np.abs(q / np.float32(255.0) - imgs_np).max() <= 1e-6
+        ):
+            return jnp.asarray(q.astype(np.uint8))
+    return jnp.asarray(imgs_np)
+
+
+def _dequantize_image(img: jax.Array) -> jax.Array:
+    """Inverse of ``_quantize_cache_images`` for one indexed frame."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / np.float32(255.0)
+    return img
+
+
 class Trainer:
     def __init__(self, config: TrainerConfig):
         # Device-scalar intersection counts of every step since the last
@@ -197,7 +223,9 @@ class Trainer:
         def down_map(m):
             return m if d == 1 else m[::d, ::d][:h, :w]
 
-        imgs = jnp.asarray(np.stack([down_img(f.image) for f in frames]))
+        imgs = _quantize_cache_images(
+            np.stack([down_img(f.image) for f in frames])
+        )
         cams = Camera(
             fx=jnp.asarray([f.fx / d for f in frames], jnp.float32),
             fy=jnp.asarray([f.fy / d for f in frames], jnp.float32),
@@ -447,7 +475,8 @@ class Trainer:
                         idx.astype(jnp.int32) if use_cam_opt else None
                     )
                     return dp_step(
-                        state, cameras, imgs[idx], keys, pick(masks),
+                        state, cameras, _dequantize_image(imgs[idx]),
+                        keys, pick(masks),
                         pick(depths), cam_indices,
                         mono_scales=pick(mscales),
                         mono_shifts=pick(mshifts),
@@ -468,7 +497,8 @@ class Trainer:
                         jnp.asarray(idx, jnp.int32) if use_cam_opt else None
                     )
                     return base(
-                        state, camera, imgs[idx], k, pick(masks),
+                        state, camera, _dequantize_image(imgs[idx]),
+                        k, pick(masks),
                         pick(depths), pick(mscales), pick(mshifts),
                         camera_index=cam_index,
                     )
@@ -932,7 +962,7 @@ class Trainer:
                 cy=jnp.asarray([f.cy for f in frames], jnp.float32),
                 c2w=jnp.asarray(np.stack([f.c2w for f in frames])),
             )
-            gts = jnp.asarray(np.stack([f.image for f in frames]))
+            gts = _quantize_cache_images(np.stack([f.image for f in frames]))
             self._dev_cache["eval_gts"] = (cams, gts)
         cams, gts = self._dev_cache["eval_gts"]
         sh_eval = min(
@@ -950,7 +980,7 @@ class Trainer:
                     scene, camera, h, w, sh_degree=sh_eval, background=bg,
                     config=cfg.model, raster_config=self.raster_cfg,
                 )
-                gt = gts[idx]
+                gt = _dequantize_image(gts[idx])
                 if gt.shape[-1] == 4:
                     a = gt[..., 3:4]
                     gt = a * gt[..., :3] + (1.0 - a) * bg
