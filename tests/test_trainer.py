@@ -257,3 +257,27 @@ def test_renderer_reads_checkpoint_raster_meta(tmp_path):
     r4 = Renderer(path3)
     assert r4.raster_config.isect_capacity == 1 << 21
     assert r3.raster_config.isect_capacity == 1 << 20  # meta-less default
+
+
+def test_cache_quantization_lossless_roundtrip():
+    """uint8 GT-cache quantization is bit-exact for 8-bit-derived images
+    and refuses non-8-bit floats (trainer._quantize_cache_images)."""
+    import jax.numpy as jnp
+
+    from gstk_tpu.train.trainer import (
+        _dequantize_image,
+        _quantize_cache_images,
+    )
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (3, 8, 9, 3), dtype=np.uint8)
+    imgs = (u8.astype(np.float32) / 255.0).astype(np.float32)
+    cached = _quantize_cache_images(imgs)
+    assert cached.dtype == jnp.uint8
+    back = np.asarray(_dequantize_image(cached[1]))
+    assert np.array_equal(back, imgs[1])  # bit-exact
+
+    hdr = imgs + np.float32(1e-4)  # not exact 8-bit multiples
+    cached2 = _quantize_cache_images(hdr)
+    assert cached2.dtype == jnp.float32
+    assert np.array_equal(np.asarray(_dequantize_image(cached2[0])), hdr[0])
