@@ -191,8 +191,14 @@ def zero_moments_at(
     idx = jnp.where(active, slots, jnp.full_like(slots, 2**30))
 
     def z(x):
-        upd = jnp.zeros((slots.shape[0],) + x.shape[1:], x.dtype)
-        return x.at[idx].set(upd, mode="drop")
+        # Surgery on FLATTENED (N, prod(rest)) views: XLA lays out 3-D
+        # (N, 15, 3) scatter operands as {1,2,0:T(4,128)} — sublane dim 15
+        # padded to 128, an 8.5x HBM blow-up that OOM'd the 2^21-capacity
+        # refine compile (12 GB candidate buffer). 2-D operands get the
+        # sane transposed (row-minor) layout.
+        flat = x.reshape(x.shape[0], -1)
+        upd = jnp.zeros((slots.shape[0], flat.shape[1]), x.dtype)
+        return flat.at[idx].set(upd, mode="drop").reshape(x.shape)
 
     return AdamState(
         count=state.count,

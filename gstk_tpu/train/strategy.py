@@ -152,7 +152,13 @@ def refine(
     )
     cand_quats = tile(scene.quats)
     cand_dc = tile(scene.features_dc)
-    cand_rest = tile(scene.features_rest)
+    # features_rest surgery runs on the FLAT (C, 45) view: XLA gives 3-D
+    # (N, 15, 3) scatter/concat operands a {1,2,0:T(4,128)} layout whose
+    # sublane padding (15 -> 128) inflates HBM 8.5x — the 2^21-capacity
+    # refine compile carried a 12 GB candidate buffer and OOM'd a 16 GB
+    # chip. The flat view tiles as (rows-minor, 45->48 sublanes), ~1.07x.
+    rest_flat = scene.features_rest.reshape(C, -1)
+    cand_rest = tile(rest_flat)
     cand_opac = tile(scene.opacities)
     cand_valid = jnp.concatenate([splits] * nsamps + [dups], axis=0)
 
@@ -197,7 +203,9 @@ def refine(
         scales=write(scene.scales, cand_scales),
         quats=write(scene.quats, cand_quats),
         features_dc=write(scene.features_dc, cand_dc),
-        features_rest=write(scene.features_rest, cand_rest),
+        features_rest=write(rest_flat, cand_rest).reshape(
+            scene.features_rest.shape
+        ),
         opacities=write(scene.opacities, cand_opac),
         alive=alive_after_cull.at[target].set(
             jnp.ones_like(place), mode="drop"
