@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from gstk_tpu.core.gaussians import GaussianScene
 from gstk_tpu.models.vanilla import VanillaConfig
-from gstk_tpu.train.optim import AdamState, zero_moments_at, zero_moments_group
+from gstk_tpu.train.optim import AdamState, zero_moments_group
 from gstk_tpu.utils.math import normalize, quat_to_rotmat
 
 
@@ -131,7 +131,19 @@ def refine(
     splits = (big_world | big_screen) & high_grads & do_densify
     dups = (~big_world) & high_grads & do_densify
 
-    # ---- candidate children (computed densely for every lane) ----
+    # ---- candidate children ----
+    # Candidate space: nsamps split segments (children of ``splits``
+    # originals) followed by one dup segment, segment-major — candidate
+    # (seg, parent) has global rank seg*C + parent in the reference's
+    # concat order. Only the (nsamps+1)*C-row means/scales tables are
+    # materialized ((N, 3) lays out rows-minor at ~1.33x pad); every other
+    # attribute is recovered by a parent-index GATHER at the receiving
+    # slot. The former formulation scattered (nsamps+1)*C-row candidate
+    # tensors into the scene — at 2^21 capacity XLA gave the 3-D
+    # (N, 15, 3) SH operand a {1,2,0:T(4,128)} layout (sublane dim 15
+    # padded to 128, 8.5x HBM) whose 12 GB candidate buffer OOM'd the
+    # refine compile, and the multi-column scatters themselves ran
+    # seconds per refine.
     nsamps = cfg.n_split_samples
     keys = jax.random.split(key, nsamps)
     quats_n = normalize(scene.quats)
@@ -146,21 +158,9 @@ def refine(
     cand_means = jnp.concatenate(
         [split_sample(k) for k in keys] + [scene.means], axis=0
     )
-    tile = lambda x: jnp.concatenate([x] * nsamps + [x], axis=0)
     cand_scales = jnp.concatenate(
         [split_scale] * nsamps + [scene.scales], axis=0
     )
-    cand_quats = tile(scene.quats)
-    cand_dc = tile(scene.features_dc)
-    # features_rest surgery runs on the FLAT (C, 45) view: XLA gives 3-D
-    # (N, 15, 3) scatter/concat operands a {1,2,0:T(4,128)} layout whose
-    # sublane padding (15 -> 128) inflates HBM 8.5x — the 2^21-capacity
-    # refine compile carried a 12 GB candidate buffer and OOM'd a 16 GB
-    # chip. The flat view tiles as (rows-minor, 45->48 sublanes), ~1.07x.
-    rest_flat = scene.features_rest.reshape(C, -1)
-    cand_rest = tile(rest_flat)
-    cand_opac = tile(scene.opacities)
-    cand_valid = jnp.concatenate([splits] * nsamps + [dups], axis=0)
 
     # ---- cull existing lanes (split originals are culled too) ----
     culls = _cull_mask(scene, cfg, step, refine_state.max_2dsize)
@@ -173,45 +173,75 @@ def refine(
     # the full tensor after densify, vanilla_gs.py:500-535): past the first
     # opacity reset, children with max(exp(scale)) > cull_scale_thresh are
     # culled immediately there and must not survive a refine period here.
-    cand_op = jax.nn.sigmoid(cand_opac[:, 0])
-    cand_valid = cand_valid & (cand_op >= cfg.cull_alpha_thresh)
+    op_ok = jax.nn.sigmoid(scene.opacities[:, 0]) >= cfg.cull_alpha_thresh
     past_reset = step > cfg.refine_every * cfg.reset_alpha_every
-    cand_toobig = (
-        jnp.max(jnp.exp(cand_scales), axis=-1) > cfg.cull_scale_thresh
+    toobig_split = (
+        jnp.max(jnp.exp(split_scale), axis=-1) > cfg.cull_scale_thresh
     )
-    cand_valid = cand_valid & ~(past_reset & cand_toobig)
+    toobig_orig = (
+        jnp.max(jnp.exp(scene.scales), axis=-1) > cfg.cull_scale_thresh
+    )
+    valid_a = splits & op_ok & ~(past_reset & toobig_split)  # split segs
+    valid_b = dups & op_ok & ~(past_reset & toobig_orig)  # dup seg
 
-    # ---- allocate free slots ----
+    # ---- assign candidates to free slots (gather formulation) ----
+    # The mapping "r-th valid candidate -> r-th free slot" is INVERTED per
+    # slot instead of scattered per candidate: segment-major candidate
+    # order means the r-th valid candidate is (seg, idx_a[r - seg*nA])
+    # for r < nsamps*nA and (dup, idx_b[r - nsamps*nA]) after, where
+    # idx_a/idx_b compact the per-segment validity masks. Everything is
+    # C-sized sorts, prefix sums, gathers and elementwise selects — no
+    # scatter touches the scene or the Adam moments.
+    from gstk_tpu.ops.binning import _cumsum_1d
+
     free = ~alive_after_cull
+    n_a = jnp.sum(valid_a.astype(jnp.int32))
+    n_b = jnp.sum(valid_b.astype(jnp.int32))
+    total_valid = nsamps * n_a + n_b
     num_free = jnp.sum(free.astype(jnp.int32))
-    # free slot of rank r = free_order[r] (stable: free slots ascending).
-    free_order = jnp.argsort(~free, stable=True)
-    cand_rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
-    place = cand_valid & (cand_rank < num_free)
-    # Non-placed candidates target index C: out of bounds, dropped by the
-    # scatter — avoids duplicate-index collisions with real targets.
-    target = jnp.where(place, free_order[jnp.clip(cand_rank, 0, C - 1)], C)
-    dropped = jnp.sum(cand_valid.astype(jnp.int32)) - jnp.sum(
-        place.astype(jnp.int32)
+    idx_a = jnp.argsort(~valid_a, stable=True)  # valid lanes first
+    idx_b = jnp.argsort(~valid_b, stable=True)
+    r = _cumsum_1d(free.astype(jnp.int32)) - 1  # free rank per slot
+    seg = jnp.zeros_like(r)
+    for s in range(1, nsamps + 1):
+        seg = seg + (r >= s * n_a).astype(jnp.int32)
+    pr = jnp.clip(r - seg * n_a, 0, C - 1)
+    parent = jnp.where(seg < nsamps, idx_a[pr], idx_b[pr])
+    written = free & (r < total_valid)
+    parent = jnp.where(written, parent, 0)  # benign index for dead lanes
+    cand_row = jnp.clip(seg, 0, nsamps) * C + parent
+
+    sel = lambda new, old: jnp.where(
+        written.reshape((C,) + (1,) * (old.ndim - 1)), new, old
     )
 
-    def write(dst, src):
-        return dst.at[target].set(src, mode="drop")
-
+    def gather_parent(x):
+        # >2-D operands (SH rest (C, 15, 3)) gather through the FLAT view:
+        # XLA's 3-D gather/select layouts pad the 15-sublane dim to 128
+        # (the 8.5x blow-up documented above); 2-D stays rows-minor.
+        flat = x.reshape(C, -1)
+        return sel(flat[parent], flat).reshape(x.shape)
     new_scene = GaussianScene(
-        means=write(scene.means, cand_means),
-        scales=write(scene.scales, cand_scales),
-        quats=write(scene.quats, cand_quats),
-        features_dc=write(scene.features_dc, cand_dc),
-        features_rest=write(rest_flat, cand_rest).reshape(
-            scene.features_rest.shape
-        ),
-        opacities=write(scene.opacities, cand_opac),
-        alive=alive_after_cull.at[target].set(
-            jnp.ones_like(place), mode="drop"
-        ),
+        means=sel(cand_means[cand_row], scene.means),
+        scales=sel(cand_scales[cand_row], scene.scales),
+        quats=gather_parent(scene.quats),
+        features_dc=gather_parent(scene.features_dc),
+        features_rest=gather_parent(scene.features_rest),
+        opacities=gather_parent(scene.opacities),
+        alive=alive_after_cull | written,
     )
-    adam_state = zero_moments_at(adam_state, target, place)
+    dropped = total_valid - jnp.minimum(total_valid, num_free)
+    # Adam zero-state for written slots (reference dup_in_optim): pure
+    # elementwise masking — no scatter. Flat views for >2-D moments (same
+    # layout defense as gather_parent).
+    zero_written = lambda v: sel(
+        jnp.zeros((C, v.size // C), v.dtype), v.reshape(C, -1)
+    ).reshape(v.shape)
+    adam_state = AdamState(
+        count=adam_state.count,
+        mu={k: zero_written(v) for k, v in adam_state.mu.items()},
+        nu={k: zero_written(v) for k, v in adam_state.nu.items()},
+    )
 
     # ---- opacity reset (vanilla_gs.py:476-493) ----
     # Gated on warmup like densify/cull: the reference's refinement_after
