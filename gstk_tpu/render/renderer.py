@@ -29,7 +29,13 @@ class Renderer:
         model_config: VanillaConfig = VanillaConfig(),
         raster_config: Optional[RasterizeConfig] = None,
         background=(0.0, 0.0, 0.0),
+        precision: str = "exact",
     ):
+        """``precision`` sets the render-only forward-kernel mode
+        (ops/rasterize.RasterizeConfig.kernel_precision). "exact" is the
+        default: offline renders feed eval parity and mm-quantized depth
+        (a "fast" depth carries ~2^-9 relative error — centimeters at
+        room scale). "high"/"fast" suit preview/throughput renders."""
         path = Path(checkpoint)
         if path.is_dir():
             found = latest_checkpoint(path)
@@ -68,7 +74,8 @@ class Renderer:
             # silently wreck offline eval: observed 22.93 -> 21.37 PSNR on
             # the 240-view 15k checkpoint).
             raster_config = RasterizeConfig(
-                isect_capacity=max(1 << 20, self._meta_isect), bands=0
+                isect_capacity=max(1 << 20, self._meta_isect), bands=0,
+                kernel_precision=precision,
             )
         self.raster_config = raster_config
         self.background = jnp.asarray(background, jnp.float32)

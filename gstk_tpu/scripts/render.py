@@ -37,7 +37,8 @@ def render_trajectory(args) -> None:
 
     config = load_config(args.load_config)
     run_dir = Path(args.load_config).parent
-    renderer = Renderer(run_dir / "ckpts", model_config=config.model)
+    renderer = Renderer(run_dir / "ckpts", model_config=config.model,
+                        precision=args.precision)
     out_dir = run_dir / "render"
     (out_dir / "rgb").mkdir(parents=True, exist_ok=True)
     (out_dir / "depth").mkdir(parents=True, exist_ok=True)
@@ -72,7 +73,8 @@ def render_poses(args) -> None:
 
     config = load_config(args.load_config)
     run_dir = Path(args.load_config).parent
-    renderer = Renderer(run_dir / "ckpts", model_config=config.model)
+    renderer = Renderer(run_dir / "ckpts", model_config=config.model,
+                        precision=args.precision)
     dm = FullImageDatamanager(config.dataparser, seed=config.seed)
     out_dir = Path(args.output_dir)
     for sub in ("rgb", "depth", "gt/rgb", "gt/depth"):
@@ -128,10 +130,14 @@ def main(argv=None) -> None:
     p.add_argument("--trajectory-path", type=Path, required=True)
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--num-frames-target", type=int, default=100)
+    p.add_argument("--precision", default="exact",
+                   choices=["exact", "high", "fast"])
     p.set_defaults(fn=render_trajectory)
     p = sub.add_parser("pose")
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--precision", default="exact",
+                   choices=["exact", "high", "fast"])
     p.add_argument("--transform-to-original-space", type=bool, default=True)
     p.set_defaults(fn=render_poses)
     args = parser.parse_args(argv)
