@@ -374,3 +374,52 @@ def test_micro_batch_accumulates_gradients(rng):
         key, k = jax.random.split(key)
         state, metrics = micro_fn(state, cameras, gts, k)
     assert float(metrics["psnr"]) > 20.0
+
+
+def test_refine_children_inherit_and_adam_zeroed(rng):
+    """Children written into free slots inherit their parent's SH/quat/
+    opacity attributes exactly, and the Adam moments of written slots are
+    zeroed (reference dup_in_optim zero-state) — the gather-formulation
+    slot-assignment contract."""
+    scene, adam = _mk_refine_inputs(rng)
+    n0 = int(scene.num_alive)
+    # distinctive per-lane attributes so inheritance is attributable
+    dc = np.arange(scene.capacity * 3, dtype=np.float32).reshape(-1, 3)
+    scene = scene._replace(features_dc=jnp.asarray(dc))
+    # nonzero Adam moments everywhere
+    adam = jax.tree.map(
+        lambda x: jnp.full_like(x, 0.5) if x.ndim else x, adam
+    )
+    scales = np.asarray(scene.scales).copy()
+    scales[:n0] = np.log(0.001)  # all dup (originals kept)
+    scene = scene._replace(scales=jnp.asarray(scales))
+    cfg = VanillaConfig(
+        warmup_length=0, refine_every=10, reset_alpha_every=30,
+        densify_grad_thresh=1e-9,
+    )
+    rs = RefineState(
+        xys_grad_norm=jnp.full((scene.capacity,), 1.0),
+        vis_counts=jnp.full((scene.capacity,), 1.0),
+        max_2dsize=jnp.zeros((scene.capacity,)),
+    )
+    new_scene, new_adam, _, info = refine(
+        scene, adam, rs, jnp.int32(150), jax.random.PRNGKey(0), cfg, 4,
+        max(H, W),
+    )
+    written = np.asarray(new_scene.alive) & ~np.asarray(scene.alive)
+    assert written.sum() == int(info["num_dup"]) - int(info["num_dropped"])
+    new_dc = np.asarray(new_scene.features_dc)
+    # every written slot's dc row equals SOME alive parent's original row
+    parents = {tuple(dc[i]) for i in range(n0)}
+    for s in np.nonzero(written)[0]:
+        assert tuple(new_dc[s]) in parents
+    # dup children duplicate the parent's position exactly
+    old_means = np.asarray(scene.means)[:n0]
+    new_means = np.asarray(new_scene.means)
+    for s in np.nonzero(written)[0]:
+        assert any(np.allclose(new_means[s], m) for m in old_means)
+    # Adam moments zeroed exactly at written slots, untouched elsewhere
+    mu_means = np.asarray(new_adam.mu["means"])
+    assert np.all(mu_means[written] == 0.0)
+    alive_orig = np.asarray(scene.alive)
+    assert np.all(mu_means[alive_orig] == 0.5)
