@@ -45,8 +45,10 @@ def _band_matrix(n: int, win: np.ndarray) -> np.ndarray:
 # SSIM filter backend: "matmul" = dense banded MXU contractions (spends
 # ~win_size/1 extra FLOPs but rides the MXU in 2 big ops); "taps" = VPU
 # shifted-slice weighted sums (exact FLOP count, one fusion per axis).
-# Hardware A/B toggle — see docs/PERFORMANCE.md.
-_SSIM_FILTER = "matmul"
+# Hardware A/B toggle (env GSTK_SSIM_FILTER overrides) — docs/PERFORMANCE.md.
+import os as _os
+
+_SSIM_FILTER = _os.environ.get("GSTK_SSIM_FILTER", "matmul")
 
 
 def _filter2d_separable(img: jax.Array, win: np.ndarray) -> jax.Array:
