@@ -77,6 +77,14 @@ class Renderer:
                 isect_capacity=max(1 << 20, self._meta_isect), bands=0,
                 kernel_precision=precision,
             )
+        elif precision != "exact" and raster_config.kernel_precision != precision:
+            # An explicit raster_config must not silently discard a
+            # non-default precision request (advisor r4): thread it in.
+            import dataclasses
+
+            raster_config = dataclasses.replace(
+                raster_config, kernel_precision=precision
+            )
         self.raster_config = raster_config
         self.background = jnp.asarray(background, jnp.float32)
         self._cache: Dict = {}

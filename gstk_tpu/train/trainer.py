@@ -135,16 +135,18 @@ def _quantize_cache_images(imgs_np: np.ndarray) -> jax.Array:
     """Device GT cache as uint8 when LOSSLESS (4x less HBM).
 
     GT images almost always come from 8-bit sources (PNG/JPG -> loader
-    /255); re-quantizing is then bit-exact and the full-split cache drops
-    from e.g. 1.55 GB to 390 MB at 210x800x800 — the margin that let the
-    2^21-capacity step compile on a 16 GB chip (a 2M-Gaussian compile
-    OOM'd by 372 MB with the f32 cache). Float sources that are not exact
-    8-bit multiples (EXR/HDR) keep f32."""
+    /255); re-quantizing is then bit-exact (n/255 in f32 round-trips with
+    diff exactly 0) and the full-split cache drops from e.g. 1.55 GB to
+    390 MB at 210x800x800 — the margin that let the 2^21-capacity step
+    compile on a 16 GB chip (a 2M-Gaussian compile OOM'd by 372 MB with
+    the f32 cache). The gate is EXACT equality: float sources that are
+    not exact 8-bit multiples (EXR/HDR, resampled floats) keep f32 —
+    never quantize lossily."""
     if imgs_np.dtype == np.float32:
         q = np.rint(imgs_np * 255.0)
         if (
             q.min() >= 0 and q.max() <= 255
-            and np.abs(q / np.float32(255.0) - imgs_np).max() <= 1e-6
+            and (q.astype(np.float32) / np.float32(255.0) == imgs_np).all()
         ):
             return jnp.asarray(q.astype(np.uint8))
     return jnp.asarray(imgs_np)

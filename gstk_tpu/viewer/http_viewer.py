@@ -453,15 +453,9 @@ class TrainingViewer:
         self._scene = None
         self._lock = threading.Lock()
         self._cache = {}
-        # Interactive frames are 8-bit: the "high" render-only kernel
-        # precision (mean dev ~4e-4 vs exact — below 1/255 quantization)
-        # drops 3 MXU passes per compositing chunk. Export/eval paths
-        # keep their own (exact) configs.
-        import dataclasses as _dc
-        if getattr(raster_config, "kernel_precision", "exact") == "exact":
-            raster_config = _dc.replace(
-                raster_config, kernel_precision="high"
-            )
+        # Interactive-frame precision downgrade (exact -> high) happens in
+        # viser_viewer.make_viewer so both viewer backends behave the same;
+        # this class renders with whatever config it is handed.
 
         def render(c2w, h, w, settings):
             with self._lock:

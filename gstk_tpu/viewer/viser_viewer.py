@@ -77,7 +77,24 @@ def _quat_scale_to_cov(quats: np.ndarray, scales: np.ndarray) -> np.ndarray:
 
 def make_viewer(model_config, raster_config, port: int = 7007,
                 run_info=None):
-    """viser when available, stdlib HTTP viewer otherwise."""
+    """viser when available, stdlib HTTP viewer otherwise.
+
+    Interactive frames are 8-bit: the "high" render-only kernel precision
+    (mean dev ~4e-4 vs exact — below 1/255 quantization) drops 3 MXU
+    passes per compositing chunk, so the downgrade applies here, for BOTH
+    backends, rather than inside one viewer class. Export/eval paths build
+    their own (exact) configs and are unaffected.
+    """
+    import dataclasses
+
+    if (
+        raster_config is not None
+        and dataclasses.is_dataclass(raster_config)
+        and raster_config.kernel_precision == "exact"
+    ):
+        raster_config = dataclasses.replace(
+            raster_config, kernel_precision="high"
+        )
     if viser_available():
         return ViserViewer(model_config, raster_config, port=port)
     from gstk_tpu.viewer.http_viewer import TrainingViewer
