@@ -21,6 +21,17 @@ cd "$(dirname "$0")/.."
 
 EXTRA_FLAGS=${EXTRA_FLAGS:-}
 
+# Hardware-parity preflight gate (VERDICT r4 item 6): refuse to produce
+# quality numbers on kernels that have not passed a hardware parity run
+# since their last edit. `bash tools/preflight.sh` (or a passing bench.py
+# parity phase) refreshes the stamp.
+if [ "${GSTK_SKIP_PREFLIGHT:-0}" != "1" ]; then
+  if ! python tools/preflight.py check; then
+    echo "run_quality: REFUSING to run on unstamped kernels (see above)." >&2
+    exit 3
+  fi
+fi
+
 launch() {
   local extra=()
   if ls "$RUN_DIR"/ckpts/step-*.ckpt.npz >/dev/null 2>&1; then
