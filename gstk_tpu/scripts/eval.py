@@ -263,6 +263,13 @@ def main(argv=None) -> None:
             "fps": len(psnrs) / dt if psnrs else 0.0,
             "num_rays_per_sec": n_rays / dt,
         },
+        # Per-view metrics: 2x handful of floats, and the difference
+        # between "mean is capacity-bound" and "three bad views drag the
+        # mean" in quality analyses (docs/RESULTS_240_30K.md).
+        "per_image": {
+            "psnr": [float(v) for v in psnrs],
+            "ssim": [float(v) for v in ssims],
+        },
     }
     args.output_path.parent.mkdir(parents=True, exist_ok=True)
     args.output_path.write_text(json.dumps(results, indent=2))
