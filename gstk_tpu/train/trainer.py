@@ -843,7 +843,11 @@ class Trainer:
                 if self.viewer is not None:
                     self.viewer.update_scene(self.state.scene, metrics_host)
 
-            if (step + 1) % cfg.steps_per_save == 0 and jax.process_index() == 0:
+            if (
+                cfg.steps_per_save > 0
+                and (step + 1) % cfg.steps_per_save == 0
+                and jax.process_index() == 0
+            ):
                 # main-process-only save (the reference's @check_main_thread
                 # gate on checkpointing, engine/trainer.py:443); replicated
                 # state is identical across hosts
@@ -853,6 +857,11 @@ class Trainer:
                         cfg.save_only_latest_checkpoint,
                         extras=self._ckpt_meta(),
                     )
+            if (
+                cfg.steps_per_eval_image > 0
+                and (step + 1) % cfg.steps_per_eval_image == 0
+            ):
+                self.eval_image(step)
             if (
                 cfg.steps_per_eval_all_images > 0
                 and (step + 1) % cfg.steps_per_eval_all_images == 0
@@ -897,6 +906,38 @@ class Trainer:
             c2w=jnp.asarray(frame.c2w),
         )
         return self._render_cache[key](self.state.scene, camera)
+
+    def eval_image(self, step: int) -> Dict[str, float]:
+        """Single-eval-view cadence (reference eval_iteration,
+        engine/trainer.py:527-577): render ONE eval image — cycling
+        through the split — and log its PSNR/SSIM + test rays/s. Cheap
+        mid-training signal between the full eval_all sweeps."""
+        frames = self.datamanager.eval_frames
+        if not frames:
+            return {}
+        cadence = max(self.config.steps_per_eval_image, 1)
+        i = ((step + 1) // cadence) % len(frames)
+        frame = frames[i]
+        t0 = time.perf_counter()
+        out = self._render_eval(frame)
+        pred = np.asarray(out["rgb"])
+        dt = time.perf_counter() - t0
+        gt = frame.image
+        if gt.shape[-1] == 4:
+            a = gt[..., 3:4]
+            gt = a * gt[..., :3] + (1.0 - a) * _EVAL_BACKGROUND
+        mse = float(np.mean((pred - gt) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-10))
+        ssim = float(loss_utils.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+        h, w = gt.shape[:2]
+        results = {"eval_image_psnr": psnr, "eval_image_ssim": ssim,
+                   "eval_image_idx": float(i)}
+        self.writer.put_dict(results, step)
+        self.writer.put_scalar(
+            EventName.TEST_RAYS_PER_SEC, h * w / max(dt, 1e-9), step
+        )
+        self.writer.write_out_storage()
+        return results
 
     def eval_all(self, step: int) -> Dict[str, float]:
         frames = self.datamanager.eval_frames

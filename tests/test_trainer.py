@@ -56,6 +56,33 @@ def test_trainer_end_to_end(tmp_path, rng):
     np.testing.assert_allclose(np.mean(s_dev), np.mean(s_host), rtol=1e-4)
 
 
+def test_trainer_save_disabled_and_eval_image_cadence(tmp_path, rng):
+    """steps_per_save=0 disables checkpointing (ZeroDivisionError
+    regression, caught by the r5 mono smoke); steps_per_eval_image
+    renders ONE cycling eval view per cadence (reference eval_iteration,
+    engine/trainer.py:527-577)."""
+    import json
+
+    data = _make_dataset(tmp_path, rng)
+    cfg = dataclasses.replace(
+        _config(data, tmp_path / "out", iters=6),
+        steps_per_save=0, steps_per_eval_image=2,
+    )
+    trainer = Trainer(cfg)
+    trainer.setup()
+    trainer.train()
+    # no periodic saves — only the unconditional end-of-training one
+    ckpts = sorted((cfg.run_dir / "ckpts").glob("step-*.ckpt.npz"))
+    assert [p.name for p in ckpts] == ["step-000000006.ckpt.npz"]
+    recs = [json.loads(line)
+            for line in (cfg.run_dir / "metrics.jsonl").open()]
+    evals = [r for r in recs if "eval_image_psnr" in r]
+    assert [r["step"] for r in evals] == [1, 3, 5]
+    assert all(np.isfinite(r["eval_image_psnr"]) for r in evals)
+    # cycles through the split (2 eval frames in the fixture)
+    assert [int(r["eval_image_idx"]) for r in evals] == [1, 0, 1]
+
+
 def test_trainer_resume(tmp_path, rng):
     data = _make_dataset(tmp_path, rng)
     cfg = _config(data, tmp_path / "out", iters=10)
