@@ -154,6 +154,11 @@ def main(argv=None) -> None:
     parser.add_argument("--force-host-loop", action="store_true",
                         help="bypass the one-dispatch device eval and use "
                              "the per-image host loop (parity debugging)")
+    parser.add_argument("--split", choices=("eval", "train"), default="eval",
+                        help="which split to evaluate. 'train' is a "
+                             "diagnostic: train-split PSNR ~= the trainer's "
+                             "logged train PSNR rules out eval-path bugs "
+                             "when analyzing train-eval gaps")
     args = parser.parse_args(argv)
 
     config = load_config(args.load_config)
@@ -171,7 +176,7 @@ def main(argv=None) -> None:
 
     import os
 
-    frames = dm.eval_frames
+    frames = dm.eval_frames if args.split == "eval" else dm.train_frames
     weights_path = args.lpips_weights or os.environ.get("GSTK_LPIPS_WEIGHTS")
     same_shape = frames and all(
         f.image.shape == frames[0].image.shape for f in frames
@@ -255,6 +260,7 @@ def main(argv=None) -> None:
         "experiment_name": config.experiment_name,
         "method_name": config.method_name,
         "checkpoint": str(renderer.step),
+        "split": args.split,
         "results": {
             "psnr": float(np.mean(psnrs)) if psnrs else None,
             "ssim": float(np.mean(ssims)) if ssims else None,
