@@ -28,19 +28,25 @@ scene = scene._replace(
 cam = Camera(fx=jnp.float32(1111.0), fy=jnp.float32(1111.0),
              cx=jnp.float32(400.0), cy=jnp.float32(400.0),
              c2w=jnp.asarray(np.eye(4)[:3].astype(np.float32)))
-for prec in ("exact", "high", "fast"):
-    fn = jax.jit(lambda s, c, p=prec: render_scene(
-        s, c, img, img, sh_degree=3, background=jnp.zeros(3),
-        config=VanillaConfig(sh_degree=3),
-        raster_config=RasterizeConfig(
-            chunk_size=32, isect_capacity=3 << 18, kernel_precision=p)))
-    out = jax.block_until_ready(fn(scene, cam))
-    iters = 100
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(scene, cam)
-    jax.block_until_ready(out["rgb"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"render-only[{prec}]: {dt*1e3:.2f} ms/frame = "
-          f"{img*img/dt/1e6:.1f} M rays/s = {1/dt:.1f} fps "
-          f"@800x800, 100k gaussians")
+import os
+
+layouts = os.environ.get("BENCH_LAYOUTS", "auto").split(",")
+for layout in layouts:
+    for prec in ("exact", "high", "fast"):
+        fn = jax.jit(lambda s, c, p=prec, la=layout: render_scene(
+            s, c, img, img, sh_degree=3, background=jnp.zeros(3),
+            config=VanillaConfig(sh_degree=3),
+            raster_config=RasterizeConfig(
+                chunk_size=32, isect_capacity=3 << 18, kernel_precision=p,
+                attr_layout=la)))
+        out = jax.block_until_ready(fn(scene, cam))
+        iters = 100
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(scene, cam)
+        jax.block_until_ready(out["rgb"])
+        dt = (time.perf_counter() - t0) / iters
+        tag = prec if layout == "auto" else f"{prec},{layout}"
+        print(f"render-only[{tag}]: {dt*1e3:.2f} ms/frame = "
+              f"{img*img/dt/1e6:.1f} M rays/s = {1/dt:.1f} fps "
+              f"@800x800, 100k gaussians")
