@@ -321,8 +321,19 @@ def generate_raytraced_dataset(
     seed_points: int = 160_000,
     seed: int = 0,
     fov_deg: float = 40.0,
+    supersample: int = 1,
 ) -> Path:
-    """Raytrace the benchmark scene and write a full dataset directory."""
+    """Raytrace the benchmark scene and write a full dataset directory.
+
+    ``supersample``: rays per pixel axis (ss*ss stratified rays,
+    box-filtered). The default 1 matches the original datasets, but a
+    1-spp GT carries view-incoherent speckle above Nyquist at grazing
+    incidence — measured as a PSNR *ceiling* of ~23 dB on the 240-view
+    capture's low ring (tools/analyze_gt_aliasing.py,
+    docs/RESULTS_240_30K.md). Use >=3 for band-limited GT whose eval
+    PSNR measures the model, not the dataset. Depth stays 1-spp (center
+    ray): averaging depth across an edge would invent midair surfaces
+    for the sensor-depth losses."""
     from PIL import Image
 
     from gstk_tpu.utils.io import write_ply
@@ -341,6 +352,16 @@ def generate_raytraced_dataset(
         [(u - cx) / fx, -(v - cy) / fx, -np.ones_like(u)], axis=-1
     ).reshape(-1, 3)
 
+    ss = max(int(supersample), 1)
+    sub_dirs = []
+    for oy in (np.arange(ss) + 0.5) / ss:
+        for ox in (np.arange(ss) + 0.5) / ss:
+            uu, vv = np.meshgrid(np.arange(w) + ox, np.arange(h) + oy)
+            sub_dirs.append(np.stack(
+                [(uu - cx) / fx, -(vv - cy) / fx, -np.ones_like(uu)],
+                axis=-1,
+            ).reshape(-1, 3))
+
     frames = []
     cloud_pts, cloud_rgb = [], []
     for i in range(n_views):
@@ -352,6 +373,15 @@ def generate_raytraced_dataset(
         o = np.broadcast_to(c2w[:3, 3], dir_cam.shape)
         d = dir_cam @ c2w[:3, :3].T
         rgb, t, hit = shade(objs, o, d)
+        if ss > 1:
+            acc = np.zeros_like(rgb)
+            acc_hit = np.zeros(rgb.shape[0])
+            for sd in sub_dirs:
+                r2, _, h2 = shade(objs, o, sd @ c2w[:3, :3].T)
+                acc += r2
+                acc_hit += h2.astype(np.float64)
+            rgb = acc / (ss * ss)
+            hit = acc_hit / (ss * ss) >= 0.5
 
         img = np.zeros((h * w, 4), np.uint8)
         img[:, :3] = (rgb * 255).astype(np.uint8)
@@ -420,10 +450,13 @@ def main(argv=None) -> None:
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--seed-points", type=int, default=160_000)
+    ap.add_argument("--supersample", type=int, default=1,
+                    help="rays per pixel axis; >=3 for band-limited GT "
+                         "(see generate_raytraced_dataset docstring)")
     args = ap.parse_args(argv)
     out = generate_raytraced_dataset(
         args.output_dir, args.n_views, (args.width, args.height),
-        args.seed_points,
+        args.seed_points, supersample=args.supersample,
     )
     print(f"Raytraced dataset written to {out}")
 
