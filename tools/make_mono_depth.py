@@ -56,7 +56,7 @@ def _smooth_field(rng, h, w, cells=8, amp=1.0):
             + c * fy * (1 - fx) + d * fy * fx)
 
 
-def main():
+def main(argv=None):
     from PIL import Image
 
     from gstk_tpu.process_data.colmap import ColmapImage, ColmapPoint3D
@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--out", type=Path, required=True)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--points-per-image", type=int, default=400)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     meta = json.loads((args.data / "transforms.json").read_text())
