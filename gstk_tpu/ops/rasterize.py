@@ -31,6 +31,7 @@ through a clamped alpha) is applied in the VJP.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -47,6 +48,10 @@ _BF16_WIDE_PACK = True
 # fwd->bwd saved-transpose handoff (see _forward); A/B toggle.
 _T_HANDOFF = True
 _T_CUTOFF = 1e-4
+# Backward reduction reorder: "pack8" (8 sorted entries per 128-lane row,
+# fast-path row gather + lane-group select) vs "col" (attr-major column
+# gather). See the bwd path for the measured rationale.
+_REORDER_PACK8 = _os.environ.get("GSTK_REORDER", "pack8") != "col"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -485,8 +490,6 @@ def _make_composite_pallas(
         # a T-row scatter-add, cheap next to the former full-list padding
         head_blocks = tile_bins[:, 0] // rp.CHUNK
         g_blk = g_blk.at[head_blocks].add(side, mode="drop")
-        # attr-major (rows, cap_alloc) compact
-        g_pad = g_blk.transpose(1, 0, 2).reshape(g_blk.shape[1], -1)
         # Per-Gaussian reduction WITHOUT scatter-add (TPU segment_sum at 1M
         # entries measured ~25 ms): reorder columns into expansion
         # (gaussian-major) order via the inverse of the binning sort
@@ -500,7 +503,33 @@ def _make_composite_pallas(
         from gstk_tpu.ops.binning import _cumsum_1d
         from gstk_tpu.ops.segment_kernel import segment_sum_sorted
 
-        g_et = jax.lax.optimization_barrier(g_pad[:, pos_sorted])
+        rows_k = g_blk.shape[1]
+        if _REORDER_PACK8 and rows_k * 8 == 128:
+            # 8-pack reorder (r5): the attr-major column gather runs at
+            # the fixed ~6.5 ns/row rate because its lane-padded tiled
+            # table blows the ~120 MB fast-path budget
+            # (docs/PERFORMANCE.md "gather threshold", r5 sweep: 128-lane
+            # row gathers from <=~229k-row tables run at 1.8 ns/row).
+            # Packing 8 consecutive SORTED entries per 128-lane row
+            # (lanes = attr-major per entry) keeps the table at
+            # cap/8 rows x 512 B — inside the fast path at every
+            # operating point up to 2^21 isects — then one row gather at
+            # pos//8 plus an exact 8-way lane-group select rebuilds the
+            # expansion-order attr-major matrix. Bit-exact: the select
+            # multiplies by literal 0/1 and each output element has
+            # exactly one nonzero term.
+            wide8 = g_blk.transpose(0, 2, 1).reshape(-1, 8 * rows_k)
+            wide = jax.lax.optimization_barrier(wide8[pos_sorted // 8])
+            lg = pos_sorted % 8
+            g_et = sum(
+                jnp.where(lg == g, 1.0, 0.0)[None, :]
+                * wide[:, g * rows_k:(g + 1) * rows_k].T
+                for g in range(8)
+            )
+        else:
+            # attr-major (rows, cap_alloc) compact + column gather
+            g_pad = g_blk.transpose(1, 0, 2).reshape(g_blk.shape[1], -1)
+            g_et = jax.lax.optimization_barrier(g_pad[:, pos_sorted])
         cum = _cumsum_1d(counts.astype(jnp.int32))
         hi = jnp.clip(cum, 0, cap)
         sums = segment_sum_sorted(

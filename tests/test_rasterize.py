@@ -285,3 +285,38 @@ def test_nonexact_precision_refuses_grad(rng):
 
     with pytest.raises(ValueError, match="render-only"):
         jax.grad(loss)(jnp.asarray(opacities))
+
+
+def test_reorder_pack8_bitexact_vs_col(rng, monkeypatch):
+    """The r5 8-pack backward reorder (fast-path row gather + lane-group
+    select) must be BIT-identical to the attr-major column gather it
+    replaces — it is pure data movement with a 0/1 select."""
+    import importlib
+
+    rmod = importlib.import_module('gstk_tpu.ops.rasterize')
+
+    cam, proj, colors, opacities = _setup(rng, n=400)
+    cfg = RasterizeConfig(
+        isect_capacity=1 << 13, backend="pallas_interpret", chunk_size=16
+    )
+
+    def grads(use_pack8):
+        monkeypatch.setattr(rmod, "_REORDER_PACK8", use_pack8)
+
+        def loss(xys, conics, cols, op):
+            img, alpha = rasterize(
+                xys, proj.depths, proj.radii, conics, proj.num_tiles_hit,
+                cols, op, img_height=cam["img_h"], img_width=cam["img_w"],
+                config=cfg,
+            )
+            return jnp.sum(img * img) + jnp.sum(alpha)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(
+            proj.xys, proj.conics, jnp.asarray(colors),
+            jnp.asarray(opacities),
+        )
+
+    g8 = grads(True)
+    gc = grads(False)
+    for a, b in zip(g8, gc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
