@@ -106,7 +106,7 @@ def main():
         def kern(perm_ref, in_ref, out_ref):
             def body(i, _):
                 src = in_ref[pl.ds(i * group, group), :]
-                out_ref[pl.ds(perm_ref[i] * group, group), :] = src
+                out_ref[pl.ds(perm_ref[0, i] * group, group), :] = src
                 return 0
 
             jax.lax.fori_loop(0, R // group, body, 0)
@@ -115,7 +115,7 @@ def main():
             kern,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((R // group,), lambda i: (i,),
+                pl.BlockSpec((1, R // group), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((R, 128), lambda i: (i, 0)),
             ],
@@ -129,7 +129,7 @@ def main():
         # block-local permutation of row-groups
         g = R // group
         perm_np = np.stack([rng.permutation(g) for _ in range(nb)])
-        perm = jnp.asarray(perm_np.astype(np.int32).reshape(-1))
+        perm = jnp.asarray(perm_np.astype(np.int32))
         tag = f"B_vmem_perm_R{R}_g{group}"
         try:
             fn = jax.jit(lambda p, t, R=R, group=group:
@@ -198,7 +198,7 @@ def main():
             def body(j, _):
                 cp = pltpu.make_async_copy(
                     in_ref.at[pl.ds(j * W, W), :],
-                    out_ref.at[pl.ds(dst_ref[j] * W, W), :],
+                    out_ref.at[pl.ds(dst_ref[0, j] * W, W), :],
                     sem.at[j % 8],
                 )
                 cp.start()
@@ -211,7 +211,7 @@ def main():
             kern,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((per,), lambda i: (i,),
+                pl.BlockSpec((1, per), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((R, 128), lambda i: (i, 0)),
             ],
@@ -226,7 +226,7 @@ def main():
         nb, per = n // R, R // W
         # global permutation of sub-block slots
         slots = rng.permutation(n // W).astype(np.int32)
-        dst = jnp.asarray(slots)
+        dst = jnp.asarray(slots.reshape(nb, per))
         tag = f"D_hbm_dynwrite_W{W}"
         try:
             fn = jax.jit(lambda d, t, R=R, W=W: hbm_dynwrite(R, W)(d, t))
