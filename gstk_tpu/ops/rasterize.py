@@ -48,10 +48,16 @@ _BF16_WIDE_PACK = True
 # fwd->bwd saved-transpose handoff (see _forward); A/B toggle.
 _T_HANDOFF = True
 _T_CUTOFF = 1e-4
-# Backward reduction reorder: "pack8" (8 sorted entries per 128-lane row,
-# fast-path row gather + lane-group select) vs "col" (attr-major column
-# gather). See the bwd path for the measured rationale.
-_REORDER_PACK8 = _os.environ.get("GSTK_REORDER", "pack8") != "col"
+# Backward reduction reorder: "col" (attr-major column gather, default)
+# vs "pack8" (8 sorted entries per 128-lane row -> fast-path row gather +
+# lane-group select). Measured r5 (docs/PERFORMANCE.md "gather
+# threshold"): the pack8 GATHER itself is 2.5x faster (3.56 -> 1.41 ms
+# at bench scale) but XLA re-lays the 128-lane gather output to
+# attr-major for the segment kernel (copy 1.2 + select 0.53 + packing
+# transpose 1.1 ms), netting ~zero END-TO-END at both bench and 1M
+# operating points (21.86 vs 21.89 M rays/s; 13.77 vs 13.76). Kept as an
+# env A/B because the balance is layout-assignment-dependent.
+_REORDER_PACK8 = _os.environ.get("GSTK_REORDER", "col") == "pack8"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -521,11 +527,17 @@ def _make_composite_pallas(
             wide8 = g_blk.transpose(0, 2, 1).reshape(-1, 8 * rows_k)
             wide = jax.lax.optimization_barrier(wide8[pos_sorted // 8])
             lg = pos_sorted % 8
-            g_et = sum(
-                jnp.where(lg == g, 1.0, 0.0)[None, :]
-                * wide[:, g * rows_k:(g + 1) * rows_k].T
+            # Entry-major select FIRST (drops 7/8 of the gathered lanes),
+            # THEN transpose to attr-major — the barrier stops layout
+            # assignment from hoisting the transpose above the select,
+            # which materialized a full 128-lane {1,0}->{0,1} relayout of
+            # the gather output (384 MB / 1.2 ms at bench scale).
+            sel = sum(
+                jnp.where(lg == g, 1.0, 0.0)[:, None]
+                * wide[:, g * rows_k:(g + 1) * rows_k]
                 for g in range(8)
             )
+            g_et = jax.lax.optimization_barrier(sel).T
         else:
             # attr-major (rows, cap_alloc) compact + column gather
             g_pad = g_blk.transpose(1, 0, 2).reshape(g_blk.shape[1], -1)

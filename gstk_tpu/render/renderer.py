@@ -36,6 +36,9 @@ class Renderer:
         default: offline renders feed eval parity and mm-quantized depth
         (a "fast" depth carries ~2^-9 relative error — centimeters at
         room scale). "high"/"fast" suit preview/throughput renders."""
+        from gstk_tpu.utils.runtime import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         path = Path(checkpoint)
         if path.is_dir():
             found = latest_checkpoint(path)
@@ -76,6 +79,17 @@ class Renderer:
             raster_config = RasterizeConfig(
                 isect_capacity=max(1 << 20, self._meta_isect), bands=0,
                 kernel_precision=precision,
+                # Forward-only rendering measured faster with the
+                # transposed attr table at the trained-scene operating
+                # points (r5 hardware matrix, docs/PERFORMANCE.md:
+                # 56.8 -> 62.4 M rays/s exact @800x800/104k; >=400k
+                # capacity picks it via "auto" anyway). Caveat: at very
+                # high intersections-per-Gaussian (e.g. the synthetic 4K
+                # scene at ~46 isects/gaussian) the column-pack cost
+                # dominates and "auto"/wide wins — pass an explicit
+                # raster_config there. Values are identical between
+                # layouts (both exact f32).
+                attr_layout="transposed",
             )
         elif precision != "exact" and raster_config.kernel_precision != precision:
             # An explicit raster_config must not silently discard a

@@ -92,7 +92,13 @@ def batched_eval(renderer, frames, lpips_params=None, return_preds=False):
         c2w=jnp.asarray(np.stack([np.asarray(f.c2w, np.float32)[:3, :4]
                                   for f in frames])),
     )
-    gts = jnp.asarray(np.stack([f.image for f in frames]), jnp.float32)
+    # uint8 upload when bit-exact (4x less tunnel traffic; the trainer's
+    # device GT caches use the same gate, train/trainer.py)
+    from gstk_tpu.train.trainer import _quantize_cache_images
+
+    gts_q = _quantize_cache_images(
+        np.stack([f.image for f in frames]).astype(np.float32)
+    )
     bg = renderer.background
     cfg = renderer.model_config
     rc = renderer._raster_for(h, w)
@@ -101,12 +107,14 @@ def batched_eval(renderer, frames, lpips_params=None, return_preds=False):
         from gstk_tpu.utils.lpips import lpips as lpips_fn
 
     def one(scene, cams, gts, lp, i):
+        from gstk_tpu.train.trainer import _dequantize_image
+
         camera = jax.tree.map(lambda x: x[i], cams)
         out = render_scene(
             scene, camera, h, w, sh_degree=renderer.sh_degree, background=bg,
             config=cfg, raster_config=rc,
         )
-        gt = gts[i]
+        gt = _dequantize_image(gts[i])
         if gt.shape[-1] == 4:  # composite RGBA GT (vanilla_gs.py:870-878)
             a = gt[..., 3:4]
             gt = a * gt[..., :3] + (1.0 - a) * bg
@@ -126,7 +134,7 @@ def batched_eval(renderer, frames, lpips_params=None, return_preds=False):
             jnp.arange(n, dtype=jnp.int32),
         )
 
-    outs = fn(renderer.scene, cams, gts, lpips_params)
+    outs = fn(renderer.scene, cams, gts_q, lpips_params)
     psnrs, ssims, lpips_vals = outs[0], outs[1], outs[2]
     preds = np.asarray(outs[3]) if return_preds else None
     return (
@@ -172,7 +180,10 @@ def main(argv=None) -> None:
 
     renderer = Renderer(run_dir / "ckpts", model_config=config.model,
                         background=EVAL_BACKGROUND)
-    dm = FullImageDatamanager(config.dataparser, seed=config.seed)
+    dm = FullImageDatamanager(
+        config.dataparser, seed=config.seed,
+        splits=("train", "eval") if args.split == "train" else ("eval",),
+    )
 
     import os
 

@@ -280,15 +280,9 @@ class Trainer:
         # persistent compile cache: capacity growth retraces the step at new
         # shapes mid-run; through the tunneled TPU compiler a warm cache
         # turns those from minutes into ~1 s (docs/PERFORMANCE.md)
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir", "/root/.cache/jax_comp"
-            )
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
-            )
-        except Exception:
-            pass
+        from gstk_tpu.utils.runtime import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         self.run_dir = cfg.run_dir
         self.run_dir.mkdir(parents=True, exist_ok=True)
         # per-host camera sharding for multi-host data parallelism
