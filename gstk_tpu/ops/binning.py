@@ -278,41 +278,6 @@ def bin_gaussians(
     )
 
 
-def padded_positions(
-    isect: Intersections, num_tiles: int, align: int
-) -> jax.Array:
-    """Expansion-order -> padded-position permutation for the backward
-    gradient reduction.
-
-    The Pallas backward kernel writes per-intersection gradients at
-    *padded* positions (each tile's range re-based to an ``align``-multiple
-    start); the per-Gaussian reduction needs them in *expansion* (gaussian-
-    major) order. Padded position of sorted entry j is ``j + delta[tile]``
-    (piecewise-constant per tile — a T-element diff-scatter + cumsum, cheap),
-    and one cap-sized sort by expansion id delivers the permutation — much
-    cheaper than the former (padded_cap)-sized sort inside the VJP, and it
-    keeps the gradient gather a row-major row gather.
-
-    Returns (cap,) int32: entry e of the expansion maps to
-    ``out[e]`` in the padded gradient buffer (garbage for sentinel e, which
-    the reduction never reads).
-    """
-    cap = isect.gaussian_ids.shape[0]
-    counts = isect.tile_bins[:, 1] - isect.tile_bins[:, 0]
-    padded_counts = ((counts + align - 1) // align) * align
-    cum = jnp.cumsum(padded_counts).astype(jnp.int32)
-    padded_start = cum - padded_counts
-    delta = padded_start - isect.tile_bins[:, 0]
-    # tile t owns sorted positions [start_t, end_t); the ends partition the
-    # sorted array contiguously, so delta broadcasts piecewise-constant
-    delta_sorted = _segment_constant(delta, isect.tile_bins[:, 1], cap)
-    pos_sorted = jnp.arange(cap, dtype=jnp.int32) + delta_sorted
-    padded_cap = cap + num_tiles * align
-    pos_sorted = jnp.clip(pos_sorted, 0, padded_cap - 1)
-    _, pos = jax.lax.sort((isect.expansion_ids, pos_sorted), num_keys=1)
-    return pos
-
-
 def expansion_positions(isect: Intersections) -> jax.Array:
     """Expansion-order -> sorted-position permutation (inverse of the
     binning sort) for the backward gradient reduction on UNPADDED ranges:
