@@ -95,6 +95,7 @@ def bin_gaussians(
     block_width: int,
     capacity: int,
     segment_backend: str = "xla",
+    need_expansion: bool = True,
 ) -> Intersections:
     """Build the sorted per-tile intersection list with a static capacity.
 
@@ -254,10 +255,20 @@ def bin_gaussians(
     tile_id = jnp.where(is_real, ty * tile_bounds[0] + tx, num_tiles)
 
     depth_key = jnp.where(is_real, depth_s, jnp.inf)
-    eidx = jnp.arange(capacity, dtype=jnp.int32)
-    sorted_tile, _, sorted_gid, sorted_eidx = jax.lax.sort(
-        (tile_id, depth_key, gid, eidx), num_keys=2
-    )
+    if need_expansion:
+        eidx = jnp.arange(capacity, dtype=jnp.int32)
+        sorted_tile, _, sorted_gid, sorted_eidx = jax.lax.sort(
+            (tile_id, depth_key, gid, eidx), num_keys=2
+        )
+    else:
+        # Forward-only consumers never invert the sort; dropping the
+        # expansion-index operand saves one sort payload (~0.35 ms at
+        # 786k — XLA does not DCE unused operands of a multi-output
+        # sort). expansion_ids is INVALID in this mode.
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (tile_id, depth_key, gid), num_keys=2
+        )
+        sorted_eidx = jnp.zeros((capacity,), jnp.int32)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)

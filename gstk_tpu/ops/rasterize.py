@@ -102,6 +102,13 @@ class RasterizeConfig:
     # falls out of cache (docs/PERFORMANCE.md). "auto" switches on the
     # Gaussian count at trace time.
     attr_layout: str = "auto"
+    # Forward-only mode: skip every backward-only artifact at trace time
+    # (the binning sort's expansion-index payload, the inverse-
+    # permutation sort). XLA does NOT dead-code-eliminate unused operands
+    # of a multi-output sort, so render paths pay ~0.35 ms at 786k
+    # intersections without this. Differentiating a forward_only
+    # rasterize raises.
+    forward_only: bool = False
 
 
 def _resolve_backend(config: RasterizeConfig) -> str:
@@ -335,6 +342,7 @@ from gstk_tpu.ops.binning import _segment_constant  # noqa: E402 (shared)
 def _make_composite_pallas(
     tile_bounds: Tuple[int, int], block_width: int, ch: int, interpret: bool,
     attr_layout: str = "auto", kernel_precision: str = "exact",
+    forward_only: bool = False,
 ):
     """Pallas-kernel-backed compositing with the same custom-VJP contract as
     the pure-JAX path.
@@ -469,6 +477,12 @@ def _make_composite_pallas(
                 "recompute runs at exact precision, so differentiating a "
                 "non-exact forward would corrupt gradients. Use "
                 "kernel_precision='exact' for training."
+            )
+        if forward_only:
+            raise ValueError(
+                "RasterizeConfig.forward_only=True skips the expansion "
+                "permutation the backward reduction needs; use "
+                "forward_only=False for training."
             )
         acc, final_t, attr, _, packed, t_attr = _forward(
             xys, conics, colors, opacities, sorted_gids, tile_bins,
@@ -770,17 +784,24 @@ def _rasterize_band(
         segment_backend=(
             backend if backend in ("pallas", "pallas_interpret") else "xla"
         ),
+        need_expansion=not config.forward_only,
     )
     if backend in ("pallas", "pallas_interpret"):
         from gstk_tpu.ops import raster_pallas as rp
         from gstk_tpu.ops.binning import expansion_positions
 
-        pos_sorted = expansion_positions(isect)
+        if config.forward_only:
+            pos_sorted = jnp.zeros(
+                (config.isect_capacity,), jnp.int32
+            )  # primal never reads it; grad refuses (see fwd)
+        else:
+            pos_sorted = expansion_positions(isect)
         composite = _make_composite_pallas(
             tile_bounds, bw, colors.shape[-1],
             interpret=(backend == "pallas_interpret"),
             attr_layout=config.attr_layout,
             kernel_precision=config.kernel_precision,
+            forward_only=config.forward_only,
         )
         acc, final_t = composite(
             xys, conics, colors, opacities, isect.gaussian_ids,

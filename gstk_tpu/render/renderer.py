@@ -90,6 +90,7 @@ class Renderer:
                 # raster_config there. Values are identical between
                 # layouts (both exact f32).
                 attr_layout="transposed",
+                forward_only=True,
             )
         elif precision != "exact" and raster_config.kernel_precision != precision:
             # An explicit raster_config must not silently discard a

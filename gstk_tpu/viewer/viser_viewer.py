@@ -96,7 +96,7 @@ def make_viewer(model_config, raster_config, port: int = 7007,
         # fwd-only winners (65.9 vs 56.8 M rays/s at the bench point).
         raster_config = dataclasses.replace(
             raster_config, kernel_precision="high",
-            attr_layout="transposed",
+            attr_layout="transposed", forward_only=True,
         )
     if viser_available():
         return ViserViewer(model_config, raster_config, port=port)

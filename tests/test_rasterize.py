@@ -320,3 +320,27 @@ def test_reorder_pack8_bitexact_vs_col(rng, monkeypatch):
     gc = grads(False)
     for a, b in zip(g8, gc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_forward_only_matches_and_refuses_grad(rng):
+    """forward_only drops backward-only sort payloads: images identical,
+    differentiation refuses loudly."""
+    cam, proj, colors, opacities = _setup(rng)
+    args = (
+        proj.xys, proj.depths, proj.radii, proj.conics, proj.num_tiles_hit,
+        jnp.asarray(colors), jnp.asarray(opacities),
+    )
+    kw = dict(img_height=cam["img_h"], img_width=cam["img_w"])
+    base = RasterizeConfig(isect_capacity=1 << 13, backend="pallas_interpret")
+    cfg = dataclasses.replace(base, forward_only=True)
+    img0, a0 = rasterize(*args, **kw, config=base)
+    img1, a1 = rasterize(*args, **kw, config=cfg)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def loss(op):
+        img, _ = rasterize(*args[:-1], op, **kw, config=cfg)
+        return jnp.sum(img)
+
+    with pytest.raises(ValueError, match="forward_only"):
+        jax.grad(loss)(jnp.asarray(opacities))
