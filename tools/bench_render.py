@@ -38,7 +38,7 @@ for layout in layouts:
             config=VanillaConfig(sh_degree=3),
             raster_config=RasterizeConfig(
                 chunk_size=32, isect_capacity=3 << 18, kernel_precision=p,
-                attr_layout=la)))
+                attr_layout=la, forward_only=True)))
         out = jax.block_until_ready(fn(scene, cam))
         iters = 100
         t0 = time.perf_counter()

@@ -25,7 +25,7 @@ total = int(np.asarray(jnp.sum(proj.num_tiles_hit)))
 import os
 prec = os.environ.get("BENCH_PRECISION", "exact")
 cfg = RasterizeConfig(isect_capacity=1 << 20, backend="pallas", bands=0,
-                      kernel_precision=prec)
+                      kernel_precision=prec, forward_only=True)
 fn = jax.jit(lambda *a: rasterize(
     *a, img_height=H, img_width=W, background=jnp.zeros(4),
     config=cfg, return_info=True))
