@@ -179,8 +179,6 @@ def main():
             flush=True,
         )
     if os.environ.get("BENCH_DEBUG"):
-        import sys
-
         print(
             f"debug: num_intersects={int(metrics['num_intersects'])} "
             f"num_alive={int(metrics['num_alive'])} "
