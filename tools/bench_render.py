@@ -41,9 +41,17 @@ for layout in layouts:
                 attr_layout=la, forward_only=True)))
         out = jax.block_until_ready(fn(scene, cam))
         iters = 100
+        # Distinct args per iteration: identical pending (executable, args)
+        # dispatches through the tunneled runtime can collapse into one
+        # execution and report ~0 ms/frame (observed r5; bench.py is
+        # immune because its args change every step). A 1e-3 px cx jiggle
+        # forces real executions without perturbing the workload.
+        cams = [cam._replace(cx=jnp.float32(400.0 + 1e-3 * i))
+                for i in range(iters)]
+        jax.block_until_ready(cams)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(scene, cam)
+        for i in range(iters):
+            out = fn(scene, cams[i])
         jax.block_until_ready(out["rgb"])
         dt = (time.perf_counter() - t0) / iters
         tag = prec if layout == "auto" else f"{prec},{layout}"
